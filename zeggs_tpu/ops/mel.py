@@ -1,0 +1,239 @@
+"""Mel-spectrogram audio front-end as batched XLA ops.
+
+Numerically reproduces the reference DSP chain
+(ZEGGS/audio/spectrograms.py:8-54,216-269,386-503 and
+ZEGGS/data_pipeline.py:28-84) but replaces the per-frame Python
+``np.fft.rfft`` loop with one strided gather + batched rFFT + a single
+(T, n_fft//2+1) x (n_fft//2+1, n_mels) matmul that XLA tiles onto the MXU.
+
+Chain (v1 config): [preemphasis] -> symmetric-Hann STFT magnitude / n_fft
+-> Slaney-style mel filterbank (energy-normalized bins) -> clip at
+min_amplitude/n_fft -> dB -> map dynamic range to [0, 1]
+-> (data_pipeline) 10**(x/20) then ln -> linear resample from the
+fs/hop grid to the 60 fps animation grid -> optional energy channel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MelConfig:
+    """Mirror of the reference ``audio_conf`` block
+    (configs/data_pipeline_conf_v1.json:9-24)."""
+
+    sampling_rate: int = 16000
+    filter_length: int = 800  # n_fft
+    hop_length: int = 200
+    n_mel_channels: int = 80
+    mel_fmin: float = 20.0
+    mel_fmax: float = 7600.0
+    min_clipping: float = 1e-5
+    pre_emphasis: bool = False
+    pre_emph_coeff: float = 0.97
+    centered: bool = True
+    real_amplitude: bool = True
+    normalize_mel_bins: bool = True
+    normalize_range: bool = True
+    resample_method: str = "linear"
+    normalize_loudness: bool = True
+
+    @classmethod
+    def from_dict(cls, d):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+# ---------------------------------------------------------------------------
+# Filterbank / window construction (host-side, done once)
+# ---------------------------------------------------------------------------
+
+def _hz_to_mel(frequencies):
+    """Slaney-style Hz->mel (audio/spectrograms.py:446-473)."""
+    frequencies = np.asanyarray(frequencies, dtype=np.float64)
+    f_sp = 200.0 / 3
+    mels = frequencies / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    log_step = np.log(6.4) / 27.0
+    log_t = frequencies >= min_log_hz
+    mels = np.where(log_t, min_log_mel + np.log(np.maximum(frequencies, 1e-30) / min_log_hz) / log_step, mels)
+    return mels
+
+
+def _mel_to_hz(mels):
+    """Slaney-style mel->Hz (audio/spectrograms.py:476-503)."""
+    mels = np.asanyarray(mels, dtype=np.float64)
+    f_sp = 200.0 / 3
+    freqs = f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    log_step = np.log(6.4) / 27.0
+    log_t = mels >= min_log_mel
+    freqs = np.where(log_t, min_log_hz * np.exp(log_step * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+def mel_filterbank(n_fft, fs, n_mels=80, mel_fmin=0.0, mel_fmax=None, normalize_mel_bins=True):
+    """(n_mels, 1 + n_fft//2) triangular filterbank
+    (audio/spectrograms.py:386-443)."""
+    if mel_fmax is None:
+        mel_fmax = float(fs) / 2
+    n_bins = int(1 + n_fft // 2)
+    fft_freqs = np.linspace(0, float(fs) / 2, n_bins, endpoint=True)
+    mels = np.linspace(_hz_to_mel(mel_fmin), _hz_to_mel(mel_fmax), n_mels + 2)
+    mel_f = _mel_to_hz(mels)
+    fdiff = np.diff(mel_f)
+    ramps = np.subtract.outer(mel_f, fft_freqs)
+    weights = np.zeros((n_mels, n_bins))
+    for i in range(n_mels):
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+    if normalize_mel_bins:
+        enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+        weights *= enorm[:, np.newaxis]
+    return weights.astype(np.float32)
+
+
+def hann_symmetric(n):
+    """Symmetric Hann window — matches ``scipy.signal.hann(n)`` (sym=True),
+    which the reference uses (audio/spectrograms.py:230)."""
+    k = np.arange(n, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / (n - 1))).astype(np.float32)
+
+
+def num_frames(wav_length, n_fft, step_size, centered=True):
+    """Frame-count convention of audio/spectrograms.py:233-245."""
+    n = max(wav_length, n_fft)
+    if centered:
+        n += 2 * (n_fft // 2)
+    if n % step_size == 0:
+        return int(math.floor((n - n_fft) / step_size))
+    return 1 + int(math.floor((n - n_fft) / step_size))
+
+
+# ---------------------------------------------------------------------------
+# Device-side DSP
+# ---------------------------------------------------------------------------
+
+def preemphasis(x, coeff=0.97):
+    """y[n] = x[n] - coeff*x[n-1], y[0] = x[0]
+    (audio/signal_manipulation.py:4-12, lfilter([1, -coeff], [1]))."""
+    return jnp.concatenate([x[:1], x[1:] - coeff * x[:-1]])
+
+
+@partial(jax.jit, static_argnames=("n_fft", "step_size", "real_amplitude", "centered"))
+def stft_magnitude(x, window, n_fft, step_size, real_amplitude=True, centered=True):
+    """|STFT| as (T, n_fft//2+1); reproduces audio/spectrograms.py:216-269.
+
+    The reference loops `np.fft.rfft` per frame in Python; here a strided
+    gather builds the (T, n_fft) frame matrix and one batched rfft runs on
+    device.
+    """
+    if x.shape[0] < n_fft:
+        x = jnp.pad(x, (0, n_fft - x.shape[0]))
+    if centered:
+        pad = n_fft // 2
+        x = jnp.pad(x, (pad, pad), mode="reflect")
+    n = x.shape[0]
+    if n % step_size == 0:
+        frames = int(math.floor((n - n_fft) / step_size))
+    else:
+        frames = 1 + int(math.floor((n - n_fft) / step_size))
+    idx = jnp.arange(frames)[:, None] * step_size + jnp.arange(n_fft)[None, :]
+    windowed = x[idx] * window[None, :]
+    amp = jnp.abs(jnp.fft.rfft(windowed, axis=-1))
+    if real_amplitude:
+        amp = amp / n_fft
+    return amp
+
+
+def mel_spectrogram_tts(x, cfg: MelConfig, mel_basis=None, window=None):
+    """Normalized-dB mel spectrogram, shape (T, n_mels)
+    (audio/spectrograms.py:8-54, transposed vs the reference's (n_mels, T))."""
+    if cfg.pre_emphasis:
+        x = preemphasis(x, cfg.pre_emph_coeff)
+    if window is None:
+        window = jnp.asarray(hann_symmetric(cfg.filter_length))
+    if mel_basis is None:
+        mel_basis = jnp.asarray(
+            mel_filterbank(
+                cfg.filter_length,
+                cfg.sampling_rate,
+                cfg.n_mel_channels,
+                cfg.mel_fmin,
+                cfg.mel_fmax,
+                cfg.normalize_mel_bins,
+            )
+        )
+    amp = stft_magnitude(
+        x, window, cfg.filter_length, cfg.hop_length, cfg.real_amplitude, cfg.centered
+    )
+    mel = amp @ mel_basis.T  # (T, n_mels)
+    # amplitude_to_db with min-clipping and range normalization
+    # (audio/spectrograms.py:57-131).
+    n_fft_div = cfg.filter_length if cfg.real_amplitude else 1
+    min_amplitude = cfg.min_clipping / n_fft_div
+    mel = jnp.abs(mel)
+    mel = jnp.clip(mel, min=min_amplitude)
+    mel = 20.0 * jnp.log10(mel)
+    if cfg.normalize_range:
+        dynamic_range = -20.0 * math.log10(min_amplitude)
+        mel = (mel + dynamic_range) / dynamic_range
+    return mel
+
+
+def linear_resample(y, t_new, extrapolate=False):
+    """Linear interpolation of (T, C) rows at fractional indices ``t_new``.
+
+    extrapolate=False matches ``scipy.interpolate.griddata(method='linear')``
+    inside the hull (data_pipeline.py:66-71); extrapolate=True matches
+    ``interp1d(..., fill_value='extrapolate')`` (data_pipeline.py:76-79).
+    """
+    T = y.shape[0]
+    if not extrapolate:
+        t_new = jnp.clip(t_new, 0.0, T - 1.0)
+    i0 = jnp.clip(jnp.floor(t_new).astype(jnp.int32), 0, T - 2)
+    frac = t_new - i0
+    shape = (-1,) + (1,) * (y.ndim - 1)
+    frac = frac.reshape(shape)
+    return y[i0] * (1.0 - frac) + y[i0 + 1] * frac
+
+
+def audio_features(
+    audio,
+    anim_fs,
+    anim_length,
+    cfg: MelConfig,
+    feature_type=("mel_spec", "energy"),
+    mel_basis=None,
+    window=None,
+):
+    """Full per-clip audio featurizer -> (anim_length, n_features).
+
+    Mirrors data_pipeline.preprocess_audio (data_pipeline.py:33-84):
+      mel = ln(10**(norm_db/20)); resample to the animation grid;
+      energy = L2 over mel bins of 10**(norm_db/20), resampled with
+      linear extrapolation. Loudness normalization (BS.1770) is host-side
+      (zeggs_tpu.audio.loudness) and applied by the caller.
+    """
+    mel_norm_db = mel_spectrogram_tts(jnp.asarray(audio, jnp.float32), cfg, mel_basis, window)
+    mel = 10.0 ** (mel_norm_db / 20.0)
+    log_mel = jnp.log(mel)
+    step = (cfg.sampling_rate / cfg.hop_length) / anim_fs
+    t_new = step * jnp.arange(anim_length)
+    feats = []
+    if "mel_spec" in feature_type:
+        feats.append(linear_resample(log_mel, t_new, extrapolate=False))
+    if "energy" in feature_type:
+        energy = jnp.linalg.norm(mel, axis=-1)  # (T,)
+        feats.append(linear_resample(energy[:, None], t_new, extrapolate=True))
+    return jnp.concatenate(feats, axis=-1)
