@@ -1,0 +1,284 @@
+"""Autoregressive gesture decoder as a single `lax.scan` over frames.
+
+Reference semantics: ZEGGS/modules.py:11-243 — a CellStateEncoder
+initializes a 2-layer GRU's hidden state from (frame-0 pose, style), then a
+Python loop feeds back the integrated pose through
+vectorize_input -> recurrent cell -> devectorize_output per frame.
+
+TPU-first redesign:
+  * The frame loop is one `jax.lax.scan` (time-major), traced/compiled once.
+  * The speech/style slices of every per-step matmul are hoisted out of the
+    loop: for x_t = [pose_t | speech_t | style_t] and a packed weight W,
+    W x_t = W_pose pose_t + (W_speech speech_t + W_style style_t), and the
+    parenthesized part is one big (B*T, ·) matmul on the MXU before the scan.
+  * Weights can be cast to bfloat16 for the matmuls while the integrated
+    pose state (root position/rotation) stays float32.
+
+Two recurrent cells are provided, matching the reference:
+  'normal' — Linear+ELU skip into the GRU (modules.py:165-185)
+  'film'   — style-conditioned FiLM modulation (modules.py:188-227)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from . import pose as P
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(
+    key,
+    pose_input_size,
+    pose_output_size,
+    speech_encoding_size,
+    style_encoding_size,
+    hidden_size,
+    num_rnn_layers=2,
+    rnn_cond="normal",
+):
+    ks = jax.random.split(key, 8)
+    all_input = pose_input_size + speech_encoding_size + style_encoding_size
+    params = {
+        "cell_state_encoder": {
+            "l0": L.linear_init(ks[0], pose_input_size + style_encoding_size, hidden_size),
+            "l1": L.linear_init(ks[1], hidden_size, hidden_size),
+            "l2": L.linear_init(ks[2], hidden_size, hidden_size * num_rnn_layers),
+        },
+    }
+    if rnn_cond == "normal":
+        params["cell"] = {
+            "layer0": L.linear_init(ks[3], all_input, hidden_size),
+            "gru0": L.gru_layer_init(ks[4], all_input + hidden_size, hidden_size),
+            "gru1": L.gru_layer_init(ks[5], hidden_size, hidden_size),
+            "out": L.linear_init(ks[6], hidden_size, pose_output_size),
+        }
+    elif rnn_cond == "film":
+        kf = jax.random.split(ks[7], 4)
+        ps_input = pose_input_size + speech_encoding_size
+        params["cell"] = {
+            "gammas": L.linear_xavier_init(kf[0], style_encoding_size, hidden_size * 2),
+            "betas": L.linear_xavier_init(kf[1], style_encoding_size, hidden_size * 2),
+            "layer0": L.linear_init(ks[3], ps_input, hidden_size),
+            "gru0": L.gru_layer_init(ks[4], ps_input + hidden_size, hidden_size),
+            "gru1": L.gru_layer_init(ks[5], hidden_size, hidden_size),
+            "layer2": L.linear_init(kf[2], hidden_size, hidden_size),
+            "out": L.linear_init(kf[3], hidden_size, pose_output_size),
+        }
+    else:
+        raise ValueError(f"unknown rnn_cond {rnn_cond!r}")
+    return params
+
+
+def cell_state_encoder(params, pose, style, num_rnn_layers=2):
+    """Initial GRU hidden from (frame-0 pose encoding, style)
+    (modules.py:230-243). Returns (num_layers, B, H)."""
+    h = L.elu(L.linear(params["l0"], jnp.concatenate([pose, style], axis=-1)))
+    h = L.elu(L.linear(params["l1"], h))
+    out = L.linear(params["l2"], h)
+    b = out.shape[0]
+    return out.reshape(b, num_rnn_layers, -1).swapaxes(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# rollout
+# ---------------------------------------------------------------------------
+
+def _split_w(w, sizes):
+    """Split a packed (in, out) weight along its input axis."""
+    outs = []
+    o = 0
+    for s in sizes:
+        outs.append(w[o : o + s])
+        o += s
+    return outs
+
+
+def rollout(
+    params,
+    root_pos,
+    root_rot,
+    root_vel,
+    root_vrt,
+    lpos,
+    ltxy,
+    lvel,
+    lvrt,
+    gaze_pos,
+    speech_encoding,
+    style_encoding,
+    anim_input_mean,
+    anim_input_std,
+    anim_output_mean,
+    anim_output_std,
+    dt,
+    rnn_cond="normal",
+    num_rnn_layers=2,
+    compute_dtype=jnp.float32,
+):
+    """Autoregressive rollout.
+
+    Args mirror Decoder.forward (modules.py:47-162): frame-0 pose state
+    (B, ...) plus per-frame conditioning gaze_pos (B, T, 3),
+    speech_encoding (B, T, S), style_encoding (B, T, C).
+
+    Returns the 8 stacked trajectories (B, T, ...) with frame 0 equal to the
+    inputs, exactly like the reference (modules.py:72-162).
+    """
+    if rnn_cond != "normal":
+        return _rollout_film(
+            params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel,
+            lvrt, gaze_pos, speech_encoding, style_encoding, anim_input_mean,
+            anim_input_std, anim_output_mean, anim_output_std, dt,
+            num_rnn_layers,
+        )
+
+    B, T = speech_encoding.shape[:2]
+    njoints = lpos.shape[1]
+    pose_dim = int(anim_input_mean.shape[-1])
+    cp = params["cell"]
+    cd = compute_dtype
+
+    # Initial hidden state from ground-truth frame 0 (modules.py:82-98).
+    pose0 = P.vectorize_input(
+        root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
+        gaze_pos[:, 0], anim_input_mean, anim_input_std,
+    )
+    h0 = cell_state_encoder(params["cell_state_encoder"], pose0, style_encoding[:, 0], num_rnn_layers)
+
+    # Hoist speech/style contributions of the packed matmuls out of the scan.
+    S = speech_encoding.shape[-1]
+    C = style_encoding.shape[-1]
+    H = cp["gru1"]["w_hh"].shape[0]
+
+    w0_pose, w0_sp, w0_st = _split_w(cp["layer0"]["w"].astype(cd), (pose_dim, S, C))
+    # gru0 input = [hidden(H) | pose | speech | style]
+    wg_h, wg_pose, wg_sp, wg_st = _split_w(cp["gru0"]["w_ih"].astype(cd), (H, pose_dim, S, C))
+
+    cond = jnp.concatenate([speech_encoding[:, 1:], style_encoding[:, 1:]], axis=-1).astype(cd)
+    w_sp_st_l0 = jnp.concatenate([w0_sp, w0_st], axis=0)
+    w_sp_st_g0 = jnp.concatenate([wg_sp, wg_st], axis=0)
+    pre_l0 = cond @ w_sp_st_l0 + cp["layer0"]["b"].astype(cd)  # (B, T-1, H)
+    pre_g0 = cond @ w_sp_st_g0 + cp["gru0"]["b_ih"].astype(cd)  # (B, T-1, 3H)
+
+    gru0_rest = {k: v.astype(cd) for k, v in cp["gru0"].items() if k != "w_ih"}
+    gru1 = {k: v.astype(cd) for k, v in cp["gru1"].items()}
+    w_out = cp["out"]["w"].astype(cd)
+    b_out = cp["out"]["b"].astype(cd)
+
+    mean_in = anim_input_mean.astype(jnp.float32)
+    std_in = anim_input_std.astype(jnp.float32)
+    mean_out = anim_output_mean.astype(jnp.float32)
+    std_out = anim_output_std.astype(jnp.float32)
+
+    def step(carry, xs):
+        h, rp, rr, rv, rw, jp, jt, jv, jw = carry
+        gaze_t, pre_l0_t, pre_g0_t = xs
+        pose = P.vectorize_input(rp, rr, rv, rw, jp, jt, jv, jw, gaze_t, mean_in, std_in)
+        pose_c = pose.astype(cd)
+        hidden = jax.nn.elu(pre_l0_t + pose_c @ w0_pose)
+        gi = pre_g0_t + hidden @ wg_h + pose_c @ wg_pose
+        # GRU layer 0 (input projection precomputed above)
+        gh = h[0].astype(cd) @ gru0_rest["w_hh"] + gru0_rest["b_hh"]
+        r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
+        z = jax.nn.sigmoid(gi[..., H : 2 * H] + gh[..., H : 2 * H])
+        n = jnp.tanh(gi[..., 2 * H :] + r * gh[..., 2 * H :])
+        h1 = (1.0 - z) * n + z * h[0].astype(cd)
+        # GRU layer 1
+        h2 = L.gru_cell(gru1, h1, h[1].astype(cd))
+        out = (h2 @ w_out + b_out).astype(jnp.float32)
+        new = P.devectorize_output(out, rp, rr, njoints, dt, mean_out, std_out)
+        nrp, nrr, nrv, nrw, njp, njt, njv, njw = new
+        new_h = jnp.stack([h1.astype(jnp.float32), h2.astype(jnp.float32)])
+        new_carry = (new_h, nrp, nrr, nrv, nrw, njp, njt, njv, njw)
+        return new_carry, new[:2] + new[2:]
+
+    xs = (
+        jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
+        jnp.swapaxes(pre_l0, 0, 1),
+        jnp.swapaxes(pre_g0, 0, 1),
+    )
+    carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
+    _, ys = jax.lax.scan(step, carry0, xs)
+
+    def stack(first, rest):
+        return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
+
+    o_rp, o_rr, o_rv, o_rw, o_jp, o_jt, o_jv, o_jw = ys
+    return (
+        stack(root_pos, o_rp),
+        stack(root_rot, o_rr),
+        stack(root_vel, o_rv),
+        stack(root_vrt, o_rw),
+        stack(lpos, o_jp),
+        stack(ltxy, o_jt),
+        stack(lvel, o_jv),
+        stack(lvrt, o_jw),
+    )
+
+
+def _rollout_film(
+    params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
+    gaze_pos, speech_encoding, style_encoding, anim_input_mean, anim_input_std,
+    anim_output_mean, anim_output_std, dt, num_rnn_layers,
+):
+    """FiLM-conditioned cell (modules.py:188-227): style enters only through
+    per-layer (gamma, beta) modulation; the GRU input is [hidden|pose|speech].
+    """
+    B, T = speech_encoding.shape[:2]
+    njoints = lpos.shape[1]
+    cp = params["cell"]
+    H = cp["gru1"]["w_hh"].shape[0]
+
+    pose0 = P.vectorize_input(
+        root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
+        gaze_pos[:, 0], anim_input_mean, anim_input_std,
+    )
+    h0 = cell_state_encoder(params["cell_state_encoder"], pose0, style_encoding[:, 0], num_rnn_layers)
+
+    def step(carry, xs):
+        h, rp, rr, rv, rw, jp, jt, jv, jw = carry
+        gaze_t, speech_t, style_t = xs
+        pose = P.vectorize_input(rp, rr, rv, rw, jp, jt, jv, jw, gaze_t, anim_input_mean, anim_input_std)
+        gammas = L.linear(cp["gammas"], style_t) + 1.0
+        betas = L.linear(cp["betas"], style_t)
+        ps = jnp.concatenate([pose, speech_t], axis=-1)
+        hidden = jax.nn.elu(L.linear(cp["layer0"], ps))
+        hidden = hidden * gammas[:, :H] + betas[:, :H]
+        x = jnp.concatenate([hidden, ps], axis=-1)
+        h1 = L.gru_cell(cp["gru0"], x, h[0])
+        h2 = L.gru_cell(cp["gru1"], h1, h[1])
+        hid2 = jax.nn.elu(L.linear(cp["layer2"], h2))
+        hid2 = hid2 * gammas[:, H:] + betas[:, H:]
+        out = L.linear(cp["out"], hid2)
+        new = P.devectorize_output(out, rp, rr, njoints, dt, anim_output_mean, anim_output_std)
+        new_carry = (jnp.stack([h1, h2]),) + new[:2] + (new[2], new[3], new[4], new[5], new[6], new[7])
+        return new_carry, new
+
+    xs = (
+        jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
+        jnp.swapaxes(speech_encoding[:, 1:], 0, 1),
+        jnp.swapaxes(style_encoding[:, 1:], 0, 1),
+    )
+    carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
+    _, ys = jax.lax.scan(step, carry0, xs)
+
+    def stack(first, rest):
+        return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
+
+    o = ys
+    return (
+        stack(root_pos, o[0]),
+        stack(root_rot, o[1]),
+        stack(root_vel, o[2]),
+        stack(root_vrt, o[3]),
+        stack(lpos, o[4]),
+        stack(ltxy, o[5]),
+        stack(lvel, o[6]),
+        stack(lvrt, o[7]),
+    )
