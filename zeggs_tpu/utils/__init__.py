@@ -1,0 +1,85 @@
+"""Host-side utilities: BVH writing with root baking, misc helpers."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io import bvh
+from ..ops import quat
+
+
+def _np(fn, *args, **kw):
+    return np.asarray(fn(*args, **kw))
+
+
+def write_bvh(
+    filename,
+    root_pos,
+    root_rot,
+    lpos,
+    lrot,
+    parents,
+    names,
+    order="zyx",
+    dt=1.0 / 60.0,
+    start_position=None,
+    start_rotation=None,
+):
+    """Write a model-space animation to BVH (reference utils.py:47-87):
+    optionally re-anchor the trajectory to (start_position, start_rotation),
+    bake the root transform into joint 0, convert quats to Euler degrees.
+    """
+    root_pos = np.asarray(root_pos)
+    root_rot = np.asarray(root_rot)
+    lpos = np.asarray(lpos).copy()
+    lrot = np.asarray(lrot).copy()
+
+    if start_position is not None and start_rotation is not None:
+        offset_pos = root_pos[0:1].copy()
+        offset_rot = root_rot[0:1].copy()
+        root_pos = _np(quat.mul_vec, quat.inv(offset_rot), root_pos - offset_pos)
+        root_rot = _np(quat.mul, quat.inv(offset_rot), root_rot)
+        root_pos = _np(quat.mul_vec, start_rotation[None], root_pos) + start_position[None]
+        root_rot = _np(quat.mul, start_rotation[None], root_rot)
+
+    lpos[:, 0] = _np(quat.mul_vec, root_rot, lpos[:, 0]) + root_pos
+    lrot[:, 0] = _np(quat.mul, root_rot, lrot[:, 0])
+
+    bvh.save(
+        filename,
+        dict(
+            order=order,
+            offsets=lpos[0],
+            names=list(names),
+            frametime=dt,
+            parents=np.asarray(parents),
+            positions=lpos,
+            rotations=np.degrees(_np(quat.to_euler, lrot, order=order)),
+        ),
+    )
+
+
+def split_by_ratio(length, ratio):
+    """Contiguous index ranges proportional to ``ratio``
+    (reference helpers.py:26-37)."""
+    assert abs(sum(ratio) - 1.0) < 1e-9
+    splits = []
+    end = 0.0
+    prev = 0
+    for r in ratio:
+        end += r * length
+        splits.append([prev, int(end)])
+        prev = int(end)
+    splits[-1][-1] = length
+    return splits
+
+
+def flatten_dict(dd, separator="_", prefix=""):
+    """Flatten nested dicts for hparam logging (helpers.py:14-23)."""
+    if not isinstance(dd, dict):
+        return {prefix: dd}
+    out = {}
+    for kk, vv in dd.items():
+        key = prefix + separator + kk if prefix else kk
+        out.update(flatten_dict(vv, separator, key))
+    return out
