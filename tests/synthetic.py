@@ -135,3 +135,50 @@ def write_corpus(root: Path, n_clips=2, nframes=240):
         wav.write_wavefile(wav_path, make_audio(nframes / 60.0, seed=i), 16000)
         clips.append((bvh_path, wav_path))
     return data_dir, net_dir, clips, opts
+
+
+def write_raw_corpus(root: Path, n_clips=3, seconds=4.0):
+    """Raw-corpus layout for the data pipeline: original/{bvh,wav,timing csv}
+    + info.csv with clap-sync timecodes (trims 0.5 s head / 0.5 s tail)."""
+    import csv
+
+    root = Path(root)
+    orig = root / "original"
+    orig.mkdir(parents=True, exist_ok=True)
+    fs = 16000
+    rows = []
+    for i in range(n_clips):
+        nframes = int(seconds * 60)
+        anim = make_motion(nframes, seed=10 + i)
+        audio = make_audio(seconds, fs=fs, seed=10 + i)
+        name = f"{i:03d}_Synth_{i}"
+        bvh.save(orig / f"{name}.bvh", anim)
+        wav.write_wavefile(orig / f"{name}.wav", audio, fs)
+        # speaker timing: keep everything (single R row over the full clip)
+        with open(orig / f"{name}.csv", "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["#", "Start", "End"])
+            w.writerow(["R1", "0:0.0", f"0:{seconds:.1f}".replace(".", ".")])
+        # acting range [0.5s, seconds-0.5s]; both streams start at 0
+        act_start_f = 30  # 0.5 s in 60 fps frames
+        act_end_s = int(seconds) - 1
+        act_end_f = 30
+        rows.append(
+            dict(
+                audio_filename=f"{name}.wav",
+                audio_start_time="00:00:00:00",
+                anim_start_time="00:00:00:00",
+                acting_start_time=f"00:00:00:{act_start_f}",
+                acting_end_time=f"00:00:{act_end_s:02d}:{act_end_f}",
+                style=LABELS[i % len(LABELS)],
+                anim_bvh=f"{name}.bvh",
+                validation="TRUE" if i == n_clips - 1 else "FALSE",
+            )
+        )
+    import csv as _csv
+
+    with open(root / "info.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    return root

@@ -1,0 +1,40 @@
+"""Data pipeline CLI.
+
+Mirrors `python data_pipeline.py` in the reference (ZEGGS/data_pipeline.py
+:739-744) with explicit flags plus multi-host sharding controls.
+
+Usage:
+  python -m zeggs_tpu.cli.pipeline -c configs/data_pipeline_conf_v1.json \
+      [--workers 8] [--process-index 0 --process-count 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..config import PipelineConfig
+from ..data.pipeline import data_pipeline
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="zeggs_tpu.pipeline", description="Prepare training corpus")
+    p.add_argument("-c", "--config", type=str, required=True, help="pipeline conf JSON")
+    p.add_argument("--workers", type=int, default=None, help="process-pool size for clip map")
+    p.add_argument("--process-index", type=int, default=0, help="this host's shard index")
+    p.add_argument("--process-count", type=int, default=1, help="total host shards")
+    args = p.parse_args(argv)
+
+    conf = PipelineConfig.from_json(args.config)
+    processed, definition = data_pipeline(
+        conf,
+        num_workers=args.workers,
+        process_index=args.process_index,
+        process_count=args.process_count,
+    )
+    n = len(processed["X_audio_features"])
+    print(json.dumps({"frames": int(n), "labels": definition["label_names"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Training CLI.
+
+Mirrors the reference entry point (ZEGGS/main.py:10-75): `-o options.json
+-n name`, resolves output/saved_models/logs dirs, dumps the merged
+options.json, then runs the trainer.
+
+Usage:
+  python -m zeggs_tpu.cli.train -o configs/configs_v1.json -n my_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from ..config import Options, resolve_output_dirs
+from ..train.loop import Trainer
+from ..utils import flatten_dict
+from ..utils.metrics import make_writer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="zeggs_tpu.train", description="Train ZEGGS-TPU networks")
+    p.add_argument("-o", "--options", type=str, required=True)
+    p.add_argument("-n", "--name", type=str, required=False)
+    p.add_argument("--max-iterations", type=int, default=None, help="override 1000*niterations")
+    args = p.parse_args(argv)
+
+    opts = Options.from_options_json(args.options)
+    output_dir, models_dir, logs_dir = resolve_output_dirs(opts, args.name)
+
+    base = Path(opts.paths.base_path)
+    processed = base / opts.paths.path_processed_data
+    path_processed_data = processed / "processed_data.npz"
+    path_data_definition = processed / "data_definition.json"
+
+    merged = opts.to_options_dict()
+    merged["paths"]["output_dir"] = str(output_dir)
+    merged["paths"]["models_dir"] = str(models_dir)
+    (output_dir / "options.json").write_text(json.dumps(merged, indent=4))
+
+    writer = make_writer(logs_dir, opts.train.use_tensorboard)
+    if hasattr(writer, "write_hparams"):
+        writer.write_hparams(flatten_dict(merged["net_opt"]) | flatten_dict(merged["train_opt"]))
+
+    trainer = Trainer(
+        opts, models_dir, logs_dir, path_processed_data, path_data_definition, writer=writer
+    )
+
+    def on_step(it, metrics):
+        if it % 10 == 0:
+            print(f"iter {it}: loss={float(metrics['total_loss']):.4f}", flush=True)
+
+    trainer.run(max_iterations=args.max_iterations, on_step=on_step)
+    trainer.save_checkpoint()
+    print("Done!")
+
+
+if __name__ == "__main__":
+    main()

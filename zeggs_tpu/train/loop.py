@@ -1,0 +1,303 @@
+"""pjit'd training step and host-side training loop.
+
+Reference semantics: the monolithic `train()` in ZEGGS/train.py:29-735 —
+RAdam + ExponentialLR(0.995 / 1000 iters), 18-term loss, checkpoints at
+`generate_samples_step`, periodic ground/predict BVH sample pairs.
+
+TPU-first design:
+  * one jitted `train_step(params, opt_state, batch, iteration, rng)` with
+    donated state; gradients all-reduce implicitly through pjit over the
+    ('data',) mesh (batch sharded, params replicated),
+  * style examples arrive padded + masked (static shapes, no recompiles),
+  * checkpoints are code-decoupled npz pytrees (io.checkpoint), saved both
+    at the root models dir and per-iteration subdirs like the reference.
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Options
+from ..data.dataset import WindowedDataset
+from ..io import checkpoint
+from ..models import decoder, speech_encoder, style_encoder
+from ..ops import quat, xform
+from ..parallel import batch_sharding, create_mesh, replicated
+from ..utils import write_bvh
+from . import radam as radam_lib
+from .loss import compute_loss
+
+_POSE_KEYS = ("root_pos", "root_rot", "root_vel", "root_vrt", "lpos", "ltxy", "lvel", "lvrt")
+
+
+def init_networks(key, opts: Options, dims, nlabels):
+    """Construct the three networks (train.py:107-139)."""
+    net = opts.net
+    k1, k2, k3 = jax.random.split(key, 3)
+    style_size = (
+        nlabels
+        if opts.train.style_encoding_type == "label"
+        else net.style_encoder.style_encoding_size
+    )
+    params = {
+        "speech_encoder": speech_encoder.init(
+            k1, dims["num_audio_features"], net.speech_encoder.nhidden,
+            net.speech_encoder.speech_encoding_size,
+        ),
+        "decoder": decoder.init(
+            k2, dims["pose_input_size"], dims["pose_output_size"],
+            net.speech_encoder.speech_encoding_size, style_size,
+            net.decoder.nhidden, net.decoder.num_rnn_layers, net.decoder.rnn_cond,
+        ),
+    }
+    if opts.train.style_encoding_type == "example":
+        params["style_encoder"] = style_encoder.init(
+            k3, dims["pose_input_size"], net.style_encoder.nhidden,
+            net.style_encoder.style_encoding_size, net.style_encoder.type,
+            net.style_encoder.use_vae,
+        )
+    return params
+
+
+def make_optimizer(opts: Options):
+    schedule = radam_lib.exponential_step_schedule(
+        opts.train.learning_rate, opts.train.learning_rate_decay, every=1000
+    )
+    return radam_lib.radam(schedule, eps=opts.train.eps)
+
+
+def make_loss_fn(opts: Options, stats, parents, dt):
+    net = opts.net
+    style_type = opts.train.style_encoding_type
+    stats = {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in stats.items()}
+
+    def loss_fn(params, batch, iteration, rng):
+        r_speech, r_style, r_vae = jax.random.split(rng, 3)
+        audio = (batch["audio_features"] - stats["audio_input_mean"]) / stats["audio_input_std"]
+        speech = speech_encoder.apply(params["speech_encoder"], audio, train=True, rng=r_speech)
+
+        mu = logvar = None
+        if style_type == "example":
+            ex = (batch["example"] - stats["anim_input_mean"]) / stats["anim_input_std"]
+            style, mu, logvar = style_encoder.apply(
+                params["style_encoder"], ex,
+                lengths=batch["example_lengths"],
+                encoder_type=net.style_encoder.type,
+                use_vae=net.style_encoder.use_vae,
+                style_embedding_size=net.style_encoder.style_encoding_size,
+                train=True, rng=r_style, sample_rng=r_vae,
+            )
+        else:
+            style = batch["style"]
+
+        T = speech.shape[1]
+        style_t = jnp.repeat(style[:, None], T, axis=1)
+        outputs = decoder.rollout(
+            params["decoder"],
+            batch["root_pos"][:, 0], batch["root_rot"][:, 0],
+            batch["root_vel"][:, 0], batch["root_vrt"][:, 0],
+            batch["lpos"][:, 0], batch["ltxy"][:, 0],
+            batch["lvel"][:, 0], batch["lvrt"][:, 0],
+            batch["gaze_pos"], speech, style_t,
+            stats["anim_input_mean"], stats["anim_input_std"],
+            stats["anim_output_mean"], stats["anim_output_std"],
+            dt, rnn_cond=net.decoder.rnn_cond,
+            num_rnn_layers=net.decoder.num_rnn_layers,
+        )
+        O = dict(zip(_POSE_KEYS, outputs))
+        W = {k: batch[k] for k in _POSE_KEYS}
+        return compute_loss(O, W, batch["gaze_pos"], parents, dt, mu, logvar, iteration)
+
+    return loss_fn
+
+
+def make_train_step(opts: Options, stats, parents, dt, mesh=None, donate=True):
+    """Build (tx, jitted train_step). With a mesh, shard the batch on
+    ('data',) and replicate parameters — XLA inserts the gradient psum."""
+    tx = make_optimizer(opts)
+    loss_fn = make_loss_fn(opts, stats, parents, dt)
+
+    def step(params, opt_state, batch, iteration, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, iteration, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0, 1)
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, rep, data, None, None)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return tx, jax.jit(step, **kwargs)
+
+
+class Trainer:
+    """Host-side loop: epochs, logging, checkpointing, sample synthesis."""
+
+    def __init__(
+        self,
+        opts: Options,
+        models_dir,
+        logs_dir,
+        path_processed_data,
+        path_data_definition,
+        mesh=None,
+        writer=None,
+    ):
+        self.opts = opts
+        self.models_dir = Path(models_dir)
+        self.logs_dir = Path(logs_dir)
+        self.samples_dir = self.logs_dir / "samples"
+        self.samples_dir.mkdir(parents=True, exist_ok=True)
+
+        self.ds = WindowedDataset(
+            path_data_definition,
+            path_processed_data,
+            opts.train.window,
+            style_encoding_type=opts.train.style_encoding_type,
+            example_length=opts.net.style_encoder.example_length,
+        )
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.rng = np.random.default_rng(opts.train.seed)
+        self.key = jax.random.PRNGKey(opts.train.seed)
+
+        dims = self.ds.get_shapes()
+        self.key, init_key = jax.random.split(self.key)
+        self.params = init_networks(init_key, opts, dims, self.ds.nlabels)
+        self.tx, self.train_step = make_train_step(
+            opts, self.ds.stats, self.ds.parents, self.ds.dt, mesh=self.mesh
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.iteration = 0
+        self.epoch = 0
+        self.writer = writer
+
+        if opts.train.resume and (self.models_dir / "checkpoint.json").exists():
+            nets, opt_state, meta = checkpoint.load_train_state(self.models_dir)
+            self.params = jax.tree.map(jnp.asarray, nets)
+            if opt_state is not None:
+                self.opt_state = _restore_opt_state(self.opt_state, opt_state)
+            self.iteration = int(meta["step"])
+
+    # ------------------------------------------------------------------
+
+    def run(self, max_iterations=None, log_every=10, on_step=None):
+        t = self.opts.train
+        total = max_iterations if max_iterations is not None else 1000 * t.niterations
+        data = batch_sharding(self.mesh)
+        start_time = datetime.datetime.now()
+        while self.iteration < total:
+            for batch in self.ds.batches(t.batchsize, self.rng):
+                if self.iteration >= total:
+                    break
+                batch_dev = jax.tree.map(lambda x: jax.device_put(x, data), batch)
+                self.key, step_key = jax.random.split(self.key)
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, batch_dev,
+                    jnp.float32(self.iteration), step_key,
+                )
+                if self.writer is not None and (self.iteration % log_every == 0):
+                    m = {k: float(v) for k, v in metrics.items()}
+                    self.writer.write(self.iteration, m)
+                if on_step is not None:
+                    on_step(self.iteration, metrics)
+                if self.iteration % t.generate_samples_step == 0:
+                    self.save_checkpoint()
+                    try:
+                        self.generate_samples(3)
+                    except Exception as e:  # sample synthesis must not kill training
+                        print(f"sample synthesis failed: {e}", file=sys.stderr)
+                self.iteration += 1
+            self.epoch += 1
+        elapsed = datetime.datetime.now() - start_time
+        print(f"trained to iteration {self.iteration} in {elapsed}")
+        return self.params
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self):
+        nets = {k: jax.device_get(v) for k, v in self.params.items()}
+        opt = jax.device_get(self.opt_state)
+        extra = {"epoch": self.epoch}
+        checkpoint.save_train_state(self.models_dir, self.iteration, nets, opt, extra)
+        per_iter = self.models_dir / str(self.iteration)
+        checkpoint.save_train_state(per_iter, self.iteration, nets, opt, extra)
+
+    def generate_samples(self, n=3, length_s=30):
+        """Ground/predict BVH pairs for train+valid clips (train.py:477-729)."""
+        from ..infer.generate import GesturePipeline  # noqa: F401  (shape only)
+
+        stats = {k: jnp.asarray(v) for k, v in self.ds.stats.items()}
+        for which in ("train", "valid"):
+            for i in range(n):
+                sample, label, (s, e), _ = self.ds.get_sample(which, length_s, rng=self.rng)
+                audio = (jnp.asarray(sample["audio_features"]) - stats["audio_input_mean"]) / stats[
+                    "audio_input_std"
+                ]
+                speech = speech_encoder.apply(self.params["speech_encoder"], audio, train=False)
+                if self.opts.train.style_encoding_type == "example":
+                    ewl = self.ds.sample_example_length(self.rng)
+                    vec = self.ds.get_example(s, s + self.ds.window, (s, e), ewl)
+                    ex = (jnp.asarray(vec[None]) - stats["anim_input_mean"]) / stats["anim_input_std"]
+                    style, _, _ = style_encoder.apply(
+                        self.params["style_encoder"], ex,
+                        encoder_type=self.opts.net.style_encoder.type,
+                        use_vae=self.opts.net.style_encoder.use_vae,
+                        style_embedding_size=self.opts.net.style_encoder.style_encoding_size,
+                        sample_rng=None,
+                    )
+                else:
+                    style = jnp.zeros((1, self.ds.nlabels)).at[0, label].set(1.0)
+                T = speech.shape[1]
+                style_t = jnp.repeat(style[:, None], T, axis=1)
+                out = decoder.rollout(
+                    self.params["decoder"],
+                    *(jnp.asarray(sample[k][:, 0]) for k in _POSE_KEYS),
+                    jnp.asarray(sample["gaze_pos"]), speech, style_t,
+                    stats["anim_input_mean"], stats["anim_input_std"],
+                    stats["anim_output_mean"], stats["anim_output_std"],
+                    self.ds.dt, rnn_cond=self.opts.net.decoder.rnn_cond,
+                    num_rnn_layers=self.opts.net.decoder.num_rnn_layers,
+                )
+                label_name = self.ds.label_names[label]
+                for tag, (rp, rr, lp, lt) in {
+                    "ground": (
+                        sample["root_pos"][0], sample["root_rot"][0],
+                        sample["lpos"][0], sample["ltxy"][0],
+                    ),
+                    "predict": (
+                        np.asarray(out[0][0]), np.asarray(out[1][0]),
+                        np.asarray(out[4][0]), np.asarray(out[5][0]),
+                    ),
+                }.items():
+                    lrot = np.asarray(quat.from_xform(xform.orthogonalize_from_xy(jnp.asarray(lt))))
+                    write_bvh(
+                        str(
+                            self.samples_dir
+                            / f"iteration_{self.iteration}_{which}_{tag}_{i}_{label_name}.bvh"
+                        ),
+                        np.asarray(rp), np.asarray(rr), np.asarray(lp), lrot,
+                        parents=self.ds.parents, names=self.ds.bone_names,
+                        order="zyx", dt=self.ds.dt,
+                    )
+
+
+def _restore_opt_state(template, loaded):
+    """Rebuild the RAdamState NamedTuple from the flattened checkpoint."""
+    flat_t, treedef = jax.tree.flatten(template)
+    flat_l, _ = jax.tree.flatten(loaded)
+    if len(flat_t) != len(flat_l):
+        raise ValueError("optimizer state mismatch on resume")
+    return jax.tree.unflatten(treedef, [jnp.asarray(x) for x in flat_l])
