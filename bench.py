@@ -1,0 +1,100 @@
+"""Benchmark: batched gesture-synthesis throughput on one TPU chip.
+
+Metric (BASELINE.json): gesture frames/sec/chip for batched synthesis with
+the full-size ZEGGS v1 model (75 joints, decoder GRU 2x1024, speech/style
+64), plus p50 latency for a single 10 s clip. The baseline target is 20x
+realtime per chip = 20 * 60 fps = 1200 frames/s/chip; vs_baseline is
+value / 1200.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import AUDIO_DIM, NJOINTS, POSE_IN, POSE_OUT, _initial_state, _stats
+from zeggs_tpu import config as C
+from zeggs_tpu.models import decoder, speech_encoder
+from zeggs_tpu.train.loop import init_networks
+
+
+def make_synthesis_fn(params, stats, compute_dtype):
+    def fn(audio, gaze, style, state0):
+        speech = speech_encoder.apply(params["speech_encoder"], audio, train=False)
+        out = decoder.rollout(
+            params["decoder"], *state0, gaze, speech, style,
+            stats["anim_input_mean"], stats["anim_input_std"],
+            stats["anim_output_mean"], stats["anim_output_std"],
+            1.0 / 60.0, compute_dtype=compute_dtype,
+        )
+        return out[0], out[1], out[4], out[5]
+
+    return jax.jit(fn)
+
+
+def bench(batch, seconds, iters, compute_dtype, warmup=2):
+    opts = C.Options()
+    key = jax.random.PRNGKey(0)
+    dims = dict(num_audio_features=AUDIO_DIM, pose_input_size=POSE_IN, pose_output_size=POSE_OUT)
+    params = init_networks(key, opts, dims, nlabels=19)
+    stats = {k: jnp.asarray(v) for k, v in _stats().items()}
+    rng = np.random.default_rng(0)
+
+    T = int(seconds * 60)
+    state0 = _initial_state(rng, batch, NJOINTS)
+    audio = jnp.asarray(rng.normal(size=(batch, T, AUDIO_DIM)).astype(np.float32))
+    gaze = jnp.asarray(rng.normal(size=(batch, T, 3)).astype(np.float32))
+    style = jnp.asarray(rng.normal(size=(batch, T, 64)).astype(np.float32))
+
+    fn = make_synthesis_fn(params, stats, compute_dtype)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(audio, gaze, style, state0))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(audio, gaze, style, state0))
+        times.append(time.perf_counter() - t0)
+    t_med = float(np.median(times))
+    return batch * T / t_med, t_med
+
+
+def main():
+    seconds = 10.0
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    batches = (32, 64, 128) if on_tpu else (8,)
+    iters = 5 if on_tpu else 2
+
+    best_fps = 0.0
+    for b in batches:
+        fps, t = bench(b, seconds, iters, dtype)
+        print(f"# batch={b}: {fps:,.0f} frames/s ({t:.3f}s per {b}x{seconds:.0f}s batch)", file=sys.stderr)
+        best_fps = max(best_fps, fps)
+
+    # p50 latency for one 10 s clip (B=1)
+    _, lat = bench(1, seconds, max(iters, 5), dtype)
+    print(f"# p50 latency per 10s clip (B=1): {lat:.3f}s", file=sys.stderr)
+
+    baseline = 20 * 60.0  # 20x realtime per chip
+    print(
+        json.dumps(
+            {
+                "metric": "gesture_frames_per_sec_per_chip",
+                "value": round(best_fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(best_fps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
