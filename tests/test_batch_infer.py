@@ -1,0 +1,83 @@
+"""Batched serving path: bucketed batched rollouts == per-clip generation."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from zeggs_tpu.infer import GesturePipeline, generate_gesture
+from zeggs_tpu.infer.batch import Request, generate_batch
+from zeggs_tpu.io import bvh
+from zeggs_tpu.parallel import create_mesh
+from tests.synthetic import write_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("batch_corpus")
+    return write_corpus(root, n_clips=3, nframes=150)
+
+
+def test_generate_batch_writes_all(corpus):
+    data_dir, net_dir, clips, opts = corpus
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    results = data_dir.parent / "batch_results"
+    reqs = [
+        Request(
+            audio=clips[i][1],
+            styles=[(clips[(i + 1) % 3][0], None)],
+            file_name=f"batch_{i}",
+            temperature=0.0,
+            seed=i,
+        )
+        for i in range(3)
+    ]
+    written = generate_batch(pipe, reqs, results, bucket=64, max_batch=2)
+    assert len(written) == 3
+    for i in range(3):
+        anim = bvh.load(results / f"batch_{i}.bvh")
+        assert anim["rotations"].shape[0] == 150  # true length, padding sliced
+        assert np.isfinite(anim["rotations"]).all()
+        assert (results / f"batch_{i}.wav").exists()
+
+
+def test_generate_batch_matches_single(corpus):
+    """Batched rollout must equal the single-clip path frame for frame
+    (temperature 0 -> deterministic)."""
+    data_dir, net_dir, clips, opts = corpus
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+
+    single_dir = data_dir.parent / "single_ref"
+    generate_gesture(
+        audio_file=clips[0][1], styles=[(clips[1][0], None)],
+        network_path=net_dir, data_path=data_dir, results_path=single_dir,
+        temperature=0.0, seed=5, file_name="ref", pipeline=pipe,
+    )
+    batch_dir = data_dir.parent / "batch_cmp"
+    generate_batch(
+        pipe,
+        [Request(audio=clips[0][1], styles=[(clips[1][0], None)],
+                 file_name="ref", temperature=0.0, seed=5)],
+        batch_dir, bucket=64,
+    )
+    a = bvh.load(single_dir / "ref.bvh")
+    b = bvh.load(batch_dir / "ref.bvh")
+    np.testing.assert_allclose(a["rotations"], b["rotations"], atol=2e-3)
+    np.testing.assert_allclose(a["positions"], b["positions"], atol=2e-3)
+
+
+def test_generate_batch_sharded_over_mesh(corpus):
+    data_dir, net_dir, clips, opts = corpus
+    mesh = create_mesh(4)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    results = data_dir.parent / "mesh_results"
+    reqs = [
+        Request(audio=clips[i % 3][1], styles=[(clips[i % 3][0], None)],
+                file_name=f"m{i}", temperature=0.0, seed=i)
+        for i in range(5)
+    ]
+    written = generate_batch(pipe, reqs, results, bucket=64, max_batch=8, mesh=mesh)
+    assert len(written) == 5
+    for i in range(5):
+        anim = bvh.load(results / f"m{i}.bvh")
+        assert np.isfinite(anim["rotations"]).all()

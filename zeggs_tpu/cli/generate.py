@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("-g", "--use_gpu", action="store_true", help="accepted for parity; device is jax-global")
     p.add_argument("-f", "--frames", type=int, nargs=2, required=False)
     p.add_argument("-c", "--csv", type=str, required=False)
+    p.add_argument(
+        "-b", "--batch", action="store_true",
+        help="CSV mode: batch clips into single sharded rollouts (TPU serving path)",
+    )
     return p
 
 
@@ -58,6 +62,40 @@ def main(argv=None):
     if args.csv is not None:
         with open(args.csv, newline="") as f:
             rows = list(csv.DictReader(f))
+        if args.batch:
+            from ..infer.batch import Request, generate_batch
+
+            reqs = []
+            for row in rows:
+                if str(row.get("generate", "TRUE")).upper() not in ("TRUE", "1", "YES"):
+                    continue
+                rb = Path(row["base_path"].replace("\\", "/"))
+                frames = (
+                    tuple(int(x) for x in str(row["frames"]).split(" "))
+                    if row.get("frames") and str(row["frames"]).strip()
+                    else None
+                )
+                styles = (
+                    [(rb / row["style"].replace("\\", "/"), frames)]
+                    if args.style_encoding_type == "example"
+                    else [row["style"]]
+                )
+                reqs.append(
+                    Request(
+                        audio=rb / row["audio"].replace("\\", "/"),
+                        styles=styles,
+                        file_name=row.get("file_name") or Path(row["audio"]).stem,
+                        temperature=float(row.get("temperature", 1.0)),
+                        seed=int(row.get("seed", 1234)),
+                        first_pose=rb / row["first_pose"].replace("\\", "/")
+                        if row.get("first_pose")
+                        else None,
+                    )
+                )
+            written = generate_batch(pipeline, reqs, results_path)
+            print(f"batched mode: wrote {len(written)} clips")
+            print(f"results written to {results_path}")
+            return
         for i, row in enumerate(rows):
             if str(row.get("generate", "TRUE")).upper() not in ("TRUE", "1", "YES"):
                 continue

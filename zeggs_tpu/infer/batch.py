@@ -1,0 +1,159 @@
+"""Batched multi-clip inference: the TPU serving path.
+
+The reference CSV mode generates clips strictly one at a time
+(generate.py:476-505). Here requests are bucketed by padded length, rolled
+out as ONE batched scan per bucket (sharded on the batch axis over the
+device mesh when one is provided), and BVH serialization runs on a host
+thread pool overlapped with the next bucket's device compute — the
+BASELINE.json north-star serving design.
+
+Length padding is exact for the speech encoder: features are edge-repeated,
+which coincides with the encoder's replicate padding at the true clip end;
+rollout frames beyond a clip's true length are computed and discarded.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import batch_sharding
+
+
+@dataclass
+class Request:
+    """One synthesis request (mirrors an evaluation CSV row,
+    data/test/evaluation_example_based.csv)."""
+
+    audio: Path
+    styles: Sequence  # same forms as generate_gesture styles
+    file_name: str
+    temperature: float = 1.0
+    seed: int = 1234
+    first_pose: Optional[Path] = None
+    frames: Optional[tuple] = None  # style example frame range
+    blend_ratio: Sequence[float] = field(default_factory=lambda: [0.5, 0.5])
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _prepare(pipe, req: Request):
+    """Host+device prep for one request: features, encodings, first pose."""
+    audio_features, n_frames = pipe.audio_to_features(req.audio)
+    rng = jax.random.PRNGKey(req.seed)
+
+    encodings = []
+    feats = None
+    for style in req.styles:
+        if isinstance(style, (tuple, list)) and isinstance(style[0], (str, Path)):
+            vec, feats = pipe.style_example_from_bvh(style[0], style[1])
+            rng, sub = jax.random.split(rng)
+            emb, _, _ = pipe.encode_style(vec, req.temperature, sub)
+            encodings.append(emb)
+        elif isinstance(style, np.ndarray):
+            encodings.append(jnp.asarray(style, jnp.float32)[None])
+        else:  # label
+            encodings.append(pipe.label_encoding(style))
+    if len(encodings) > 1:
+        ratio = jnp.asarray(req.blend_ratio, jnp.float32)
+        style_enc = jnp.einsum("nbc,n->bc", jnp.concatenate([e[None] for e in encodings]), ratio)
+    else:
+        style_enc = encodings[0]
+
+    if req.first_pose is not None:
+        from ..data import features as F
+        from ..io import bvh
+
+        feats = F.preprocess_animation(bvh.load(req.first_pose))
+    assert feats is not None, f"{req.file_name}: no first pose available"
+    return audio_features, n_frames, style_enc, feats
+
+
+def generate_batch(
+    pipe,
+    requests,
+    results_path,
+    bucket=512,
+    max_batch=64,
+    mesh=None,
+    write_workers=4,
+):
+    """Run many requests as bucketed batched rollouts.
+
+    pipe: GesturePipeline. Returns the list of written BVH paths.
+    """
+    results_path = Path(results_path)
+    results_path.mkdir(parents=True, exist_ok=True)
+
+    prepared = [(req, *_prepare(pipe, req)) for req in requests]
+
+    # bucket by padded length
+    buckets = {}
+    for item in prepared:
+        T_pad = max(bucket, _round_up(item[2], bucket))
+        buckets.setdefault(T_pad, []).append(item)
+
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    n_dev = mesh.devices.size if mesh is not None else 1
+
+    written = []
+    with ThreadPoolExecutor(max_workers=write_workers) as pool:
+        futures = []
+        for T_pad, items in sorted(buckets.items()):
+            for chunk_start in range(0, len(items), max_batch):
+                chunk = items[chunk_start : chunk_start + max_batch]
+                B = len(chunk)
+                B_pad = _round_up(B, n_dev)
+
+                def stack_state(attr):
+                    arrs = [np.asarray(getattr(c[4], attr)[0]) for c in chunk]
+                    arrs += [arrs[-1]] * (B_pad - B)
+                    return jnp.asarray(np.stack(arrs))
+
+                state0 = tuple(
+                    stack_state(attr)
+                    for attr in ("root_pos", "root_rot", "root_vel", "root_vrt",
+                                 "lpos", "ltxy", "lvel", "lvrt")
+                )
+                feats_dim = chunk[0][1].shape[-1]
+                audio = np.zeros((B_pad, T_pad, feats_dim), np.float32)
+                gaze = np.zeros((B_pad, T_pad, 3), np.float32)
+                style = np.zeros((B_pad, T_pad, chunk[0][3].shape[-1]), np.float32)
+                for i, (req, af, n, se, fp) in enumerate(chunk):
+                    af = np.asarray(af)
+                    audio[i, :n] = af[:n]
+                    audio[i, n:] = af[n - 1]  # edge-repeat == replicate pad
+                    gaze[i] = np.asarray(fp.gaze_pos[0])
+                    style[i] = np.asarray(se[0])
+
+                speech = pipe._encode_speech_batched(jnp.asarray(audio))
+                args = (state0, jnp.asarray(gaze), speech, jnp.asarray(style))
+                if sharding is not None:
+                    args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
+                out = pipe._rollout_fn(T_pad)(*args)
+                host = jax.device_get((out[0], out[1], out[4], out[5]))
+
+                for i, (req, af, n, se, fp) in enumerate(chunk):
+                    futures.append(
+                        pool.submit(
+                            _write_one, pipe, results_path, req,
+                            tuple(h[i : i + 1, :n] for h in host),
+                        )
+                    )
+        for f in futures:
+            written.append(f.result())
+    return written
+
+
+def _write_one(pipe, results_path, req, host_slices):
+    rollout_like = (host_slices[0], host_slices[1], None, None, host_slices[2], host_slices[3])
+    out_file = pipe.write_result(results_path, req.file_name, rollout_like, req.audio)
+    return out_file

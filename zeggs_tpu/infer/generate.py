@@ -81,6 +81,13 @@ class GesturePipeline:
             x = (audio_features - stats["audio_input_mean"]) / stats["audio_input_std"]
             return speech_encoder.apply(nets["speech_encoder"], x[None], train=False)
 
+        @jax.jit
+        def encode_speech_batched(audio_features):
+            x = (audio_features - stats["audio_input_mean"]) / stats["audio_input_std"]
+            return speech_encoder.apply(nets["speech_encoder"], x, train=False)
+
+        self._encode_speech_batched = encode_speech_batched
+
         def encode_style(example, length, temperature, rng, stochastic):
             x = (example - stats["anim_input_mean"]) / stats["anim_input_std"]
             return style_encoder.apply(

@@ -182,9 +182,9 @@ def load_reference_networks(models_dir, style_encoding_type="example", rnn_cond=
 
     models_dir = Path(models_dir)
     out = {}
-    out["speech_encoder"] = convert_speech_encoder(
-        load_reference_module(models_dir / "speech_encoder.pt")
-    )
+    se_pt = models_dir / "speech_encoder.pt"
+    if se_pt.exists():
+        out["speech_encoder"] = convert_speech_encoder(load_reference_module(se_pt))
     dec = models_dir / "decoder.pt"
     if dec.exists():
         out["decoder"] = convert_decoder(load_reference_module(dec), rnn_cond)

@@ -237,3 +237,57 @@ def audio_features(
         energy = jnp.linalg.norm(mel, axis=-1)  # (T,)
         feats.append(linear_resample(energy[:, None], t_new, extrapolate=True))
     return jnp.concatenate(feats, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Inverse path: dB utilities, mel inversion, Griffin-Lim
+# ---------------------------------------------------------------------------
+
+def db_to_amplitude(spectrogram):
+    """dB -> amplitude (audio/spectrograms.py:151-158)."""
+    return 10.0 ** (spectrogram / 20.0)
+
+
+def denormalize_range(spectrogram, min_amplitude_used):
+    """Undo the [0,1] dynamic-range mapping (audio/spectrograms.py:134-148)."""
+    dynamic_range = -20.0 * jnp.log10(min_amplitude_used)
+    return spectrogram * dynamic_range - dynamic_range
+
+
+def mel_to_linear(mel_spectrogram, fs, n_fft, mel_fmin=0.0, mel_fmax=None,
+                  normalize_mel_bins=False):
+    """Approximate mel -> linear inversion via the row-normalized transposed
+    filterbank (audio/spectrograms.py:186-213). Input (T, n_mels) ->
+    (T, n_fft//2+1)."""
+    n_mels = mel_spectrogram.shape[-1]
+    basis = mel_filterbank(n_fft, fs, n_mels, mel_fmin, mel_fmax, normalize_mel_bins)
+    basis = basis / basis.sum(axis=1, keepdims=True)
+    return mel_spectrogram @ jnp.asarray(basis)
+
+
+def griffin_lim(magnitude, step_size, n_fft=None, iterations=30, seed=0):
+    """Griffin-Lim phase reconstruction -> time signal.
+
+    ``magnitude``: (T, n_fft//2+1) linear magnitudes (the reference's
+    column-major transpose of audio/spectrograms.py:311-370). The per-frame
+    Python rfft/irfft loops become batched FFTs + scatter-add overlap-add.
+    """
+    magnitude = jnp.asarray(magnitude, jnp.float32)
+    T, bins = magnitude.shape
+    if n_fft is None:
+        n_fft = (bins - 1) * 2
+    len_samples = int(T * step_size + n_fft)
+    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    starts = jnp.arange(T) * step_size
+    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+
+    key = jax.random.PRNGKey(seed)
+    x = jax.random.normal(key, (len_samples,), jnp.float32)
+    norm = n_fft / step_size / 2.0
+    for _ in range(iterations):
+        frames = x[idx] * window[None, :]
+        spec = jnp.fft.rfft(frames, axis=-1)
+        proposal = magnitude * jnp.exp(1j * jnp.angle(spec))
+        recon = jnp.fft.irfft(proposal, n=n_fft, axis=-1).real * window[None, :]
+        x = jnp.zeros(len_samples, jnp.float32).at[idx].add(recon) / norm
+    return x

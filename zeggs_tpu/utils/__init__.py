@@ -83,3 +83,54 @@ def flatten_dict(dd, separator="_", prefix=""):
         key = prefix + separator + kk if prefix else kk
         out.update(flatten_dict(vv, separator, key))
     return out
+
+
+def change_bvh(filename, savename, order=None, fps=None, pace=1.0, center=False):
+    """Retarget a BVH file: rotation order, frame rate / pace resampling,
+    optional re-centering (reference utils.py:7-44)."""
+    from scipy.interpolate import griddata
+
+    from ..io import bvh as bvh_io
+
+    anim = bvh_io.load(filename)
+    output = dict(anim)
+
+    if order is not None:
+        output["order"] = order
+        rots = _np(quat.unroll, _np(quat.from_euler, np.radians(anim["rotations"]), anim["order"]))
+        output["rotations"] = np.degrees(_np(quat.to_euler, rots, order=order))
+
+    if pace is not None or fps is not None:
+        if fps is None:
+            fps = 1.0 / anim["frametime"]
+        positions = anim["positions"]
+        rots = _np(quat.unroll, _np(quat.from_euler, np.radians(anim["rotations"]), anim["order"]))
+        nframes, nbones = positions.shape[:2]
+        t_orig = np.linspace(0, nframes - 1, nframes)
+        t_new = np.linspace(
+            0, nframes - 1, int(pace * (nframes * (fps * anim["frametime"]) - 1))
+        )
+        output["positions"] = griddata(
+            t_orig, positions.reshape(nframes, -1), t_new, method="cubic"
+        ).reshape(len(t_new), nbones, 3)
+        rots = griddata(t_orig, rots.reshape(nframes, -1), t_new, method="cubic").reshape(
+            len(t_new), nbones, 4
+        )
+        rots = _np(quat.normalize, rots)
+        output["rotations"] = np.degrees(_np(quat.to_euler, rots, order=output["order"]))
+        output["frametime"] = 1.0 / fps
+
+    if center:
+        lrot = _np(quat.from_euler, np.radians(output["rotations"]), output["order"])
+        offset_pos = output["positions"][0:1, 0:1].copy() * np.array([1, 0, 1])
+        offset_rot = lrot[0:1, 0:1].copy() * np.array([1, 0, 1, 0])
+        output["positions"] = np.asarray(output["positions"]).copy()
+        output["positions"][:, 0:1] = _np(
+            quat.mul_vec, quat.inv(offset_rot), output["positions"][:, 0:1] - offset_pos
+        )
+        output["rotations"] = np.asarray(output["rotations"]).copy()
+        output["rotations"][:, 0:1] = np.degrees(
+            _np(quat.to_euler, _np(quat.mul, quat.inv(offset_rot), lrot[:, 0:1]), order=output["order"])
+        )
+
+    bvh_io.save(savename, output)
