@@ -95,3 +95,34 @@ def load_train_state(directory):
     if (directory / "opt_state.npz").exists():
         opt_state, _ = load(directory / "opt_state.npz")
     return networks, opt_state, meta
+
+
+# ---------------------------------------------------------------------------
+# Orbax integration (async / multi-host checkpointing)
+# ---------------------------------------------------------------------------
+
+def save_orbax(directory, step, state):
+    """Checkpoint a full train-state pytree with Orbax (async-capable,
+    multi-host-aware). ``state`` is any pytree of arrays."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    with ocp.CheckpointManager(directory) as mngr:
+        mngr.save(int(step), args=ocp.args.StandardSave(state))
+        mngr.wait_until_finished()
+
+
+def load_orbax(directory, step=None, template=None):
+    """Restore a train-state pytree saved by `save_orbax`. Returns
+    (state, step)."""
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    with ocp.CheckpointManager(directory) as mngr:
+        if step is None:
+            step = mngr.latest_step()
+        if template is not None:
+            state = mngr.restore(step, args=ocp.args.StandardRestore(template))
+        else:
+            state = mngr.restore(step)
+    return state, step
