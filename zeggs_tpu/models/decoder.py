@@ -120,6 +120,7 @@ def rollout(
     rnn_cond="normal",
     num_rnn_layers=2,
     compute_dtype=jnp.float32,
+    unroll=1,
 ):
     """Autoregressive rollout.
 
@@ -204,7 +205,7 @@ def rollout(
         jnp.swapaxes(pre_g0, 0, 1),
     )
     carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
-    _, ys = jax.lax.scan(step, carry0, xs)
+    _, ys = jax.lax.scan(step, carry0, xs, unroll=unroll)
 
     def stack(first, rest):
         return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
