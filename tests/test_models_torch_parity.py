@@ -289,3 +289,84 @@ def test_vectorize_devectorize_inverse_shapes():
     # quat_normalize's eps=1e-5 in the small-angle exp branch (faithful to
     # the reference) makes identity come out as 0.99999.
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(q), atol=2e-5)
+
+
+class _TorchStyleEncoderGRU(nn.Module):
+    """Reference GRU style encoder (modules.py:307-343) from torch.nn."""
+
+    def __init__(self, input_size, hidden_size, out_size):
+        super().__init__()
+        self.conv0 = nn.Conv1d(input_size, hidden_size, 3, padding=1)
+        self.conv1 = nn.Conv1d(hidden_size, hidden_size, 3, padding=1)
+        self.rnn = nn.GRU(hidden_size, hidden_size, 1, batch_first=True, bidirectional=True)
+        self.proj = nn.Linear(hidden_size * 2, out_size)
+
+    def forward(self, x):
+        h = torch.relu(self.conv0(x.transpose(1, 2)).transpose(1, 2))
+        h = torch.relu(self.conv1(h.transpose(1, 2)).transpose(1, 2))
+        out, _ = self.rnn(h)
+        return self.proj(out[:, -1])
+
+
+def test_style_encoder_gru_matches_torch():
+    D, H, E, T = 14, 12, 6, 25
+    tmod = _TorchStyleEncoderGRU(D, H, E).eval()
+    sd = tmod.state_dict()
+    mapped = {}
+    for k, v in sd.items():
+        if k.startswith("conv0"):
+            mapped["encoder.convs.0.conv" + k[5:]] = v
+        elif k.startswith("conv1"):
+            mapped["encoder.convs.2.conv" + k[5:]] = v
+        elif k.startswith("rnn"):
+            mapped["encoder.rnn_layer" + k[3:]] = v
+        else:
+            mapped["encoder.projection_layer.linear_layer" + k[4:]] = v
+    from zeggs_tpu.io import torch_compat as tc2
+
+    params = tc2.convert_style_encoder(mapped, "gru")
+    x = RNG.normal(size=(3, T, D)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x)).numpy()
+    ours = np.asarray(ste.apply_gru(params["body"], jnp.asarray(x), train=False))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_film_decoder_rollout_runs_and_uses_style():
+    """FiLM cell: full rollout runs; style conditioning changes the output."""
+    B, J, T, S, C = 2, 4, 5, 6, 3
+    pose_in = 6 + J * 15 + 3
+    pose_out = 6 + J * 15
+    key = jax.random.PRNGKey(9)
+    params = dec.init(key, pose_in, pose_out, S, C, hidden_size=16,
+                      num_rnn_layers=2, rnn_cond="film")
+    stats = [
+        jnp.zeros(pose_in), jnp.ones(pose_in),
+        jnp.zeros(pose_out), jnp.ones(pose_out),
+    ]
+    q = RNG.normal(size=(B, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    state = (
+        jnp.asarray(RNG.normal(size=(B, 3)).astype(np.float32)),
+        jnp.asarray(q),
+        jnp.asarray(RNG.normal(size=(B, 3)).astype(np.float32)),
+        jnp.asarray(RNG.normal(size=(B, 3)).astype(np.float32)),
+        jnp.asarray(RNG.normal(size=(B, J, 3)).astype(np.float32)),
+        jnp.asarray(RNG.normal(size=(B, J, 2, 3)).astype(np.float32)),
+        jnp.asarray(RNG.normal(size=(B, J, 3)).astype(np.float32)),
+        jnp.asarray(RNG.normal(size=(B, J, 3)).astype(np.float32)),
+    )
+    gaze = jnp.asarray(RNG.normal(size=(B, T, 3)).astype(np.float32))
+    speech = jnp.asarray(RNG.normal(size=(B, T, S)).astype(np.float32))
+    style1 = jnp.asarray(RNG.normal(size=(B, T, C)).astype(np.float32))
+    style2 = style1 + 1.0
+
+    def run(style):
+        return dec.rollout(params, *state, gaze, speech, style, *stats,
+                           1 / 60, rnn_cond="film")
+
+    o1 = run(style1)
+    o2 = run(style2)
+    for a in o1:
+        assert np.isfinite(np.asarray(a)).all()
+    assert np.abs(np.asarray(o1[4]) - np.asarray(o2[4])).max() > 1e-4
