@@ -1,0 +1,45 @@
+"""Multi-host initialization helpers.
+
+The reference is strictly single-process (SURVEY.md §5). For multi-host TPU
+slices: call `initialize()` once per process before any jax op; the
+('data',) mesh then spans all global devices and each host feeds its local
+shard of the global batch (`local_batch_slice`).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """jax.distributed.initialize with env-var fallbacks; no-op when
+    single-process or already initialized."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    if coordinator_address is None and num_processes is None:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def local_batch_slice(global_batch_size):
+    """This host's [start, end) rows of the global batch."""
+    per = global_batch_size // jax.process_count()
+    i = jax.process_index()
+    return i * per, (i + 1) * per
+
+
+def host_shard(array_like, global_batch_size=None):
+    """Slice a host-side global batch down to this process's rows."""
+    n = global_batch_size or len(array_like)
+    s, e = local_batch_slice(n)
+    return array_like[s:e]
+
+
+def clip_shard(items):
+    """Strided shard of a work list across hosts (data-pipeline sharding)."""
+    return list(items)[jax.process_index() :: jax.process_count()]

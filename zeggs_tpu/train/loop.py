@@ -110,6 +110,7 @@ def make_loss_fn(opts: Options, stats, parents, dt):
             stats["anim_output_mean"], stats["anim_output_std"],
             dt, rnn_cond=net.decoder.rnn_cond,
             num_rnn_layers=net.decoder.num_rnn_layers,
+            compute_dtype=jnp.dtype(opts.train.compute_dtype),
         )
         O = dict(zip(_POSE_KEYS, outputs))
         W = {k: batch[k] for k in _POSE_KEYS}
@@ -198,6 +199,19 @@ class Trainer:
         total = max_iterations if max_iterations is not None else 1000 * t.niterations
         data = batch_sharding(self.mesh)
         start_time = datetime.datetime.now()
+        try:
+            self._run_epochs(total, data, log_every, on_step)
+        except (KeyboardInterrupt, Exception):
+            # crash-safe: persist the latest state before propagating
+            # (the reference loses up to generate_samples_step iterations)
+            self.save_checkpoint()
+            raise
+        elapsed = datetime.datetime.now() - start_time
+        print(f"trained to iteration {self.iteration} in {elapsed}")
+        return self.params
+
+    def _run_epochs(self, total, data, log_every, on_step):
+        t = self.opts.train
         while self.iteration < total:
             for batch in self.ds.batches(t.batchsize, self.rng):
                 if self.iteration >= total:
@@ -221,9 +235,6 @@ class Trainer:
                         print(f"sample synthesis failed: {e}", file=sys.stderr)
                 self.iteration += 1
             self.epoch += 1
-        elapsed = datetime.datetime.now() - start_time
-        print(f"trained to iteration {self.iteration} in {elapsed}")
-        return self.params
 
     # ------------------------------------------------------------------
 
