@@ -87,3 +87,19 @@ def test_train_state_roundtrip(tmp_path):
     assert meta["step"] == 123 and meta["loss"] == 1.5
     np.testing.assert_array_equal(nets2["speech_encoder"]["w"], nets["speech_encoder"]["w"])
     np.testing.assert_array_equal(opt2["mu"]["w"], opt["mu"]["w"])
+
+
+def test_native_parser_matches_numpy():
+    from zeggs_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    text = "1.5 -2.25 3e-2\n4 5.5 -6.125\n"
+    out = native.parse_float_matrix(text)
+    np.testing.assert_allclose(out, [[1.5, -2.25, 0.03], [4, 5.5, -6.125]], atol=1e-6)
+    # formatter round-trips through the parser
+    body = native.format_float_matrix(np.asarray(out, np.float32))
+    out2 = native.parse_float_matrix(body)
+    np.testing.assert_allclose(out2, out, atol=1e-6)

@@ -62,6 +62,7 @@ class TrainConfig:
     # TPU-native additions
     mesh_data_axis: int = -1  # -1 = all local devices
     compute_dtype: str = "float32"  # matmul dtype inside the decoder scan
+    remat: bool = False  # rematerialize decoder scan steps in backward
 
 
 @dataclasses.dataclass(frozen=True)

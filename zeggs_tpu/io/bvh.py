@@ -95,7 +95,12 @@ def load(filename, start=None, end=None, order=None):
     file_nframes = int(frames_m.group(1))
     frametime = float(ft_m.group(1))
 
-    values = np.loadtxt(io.StringIO(motion[ft_m.end():]), dtype=np.float64, ndmin=2)
+    motion_text = motion[ft_m.end():]
+    from . import native
+
+    values = native.parse_float_matrix(motion_text)
+    if values is None:
+        values = np.loadtxt(io.StringIO(motion_text), dtype=np.float64, ndmin=2)
     if start is not None and end is not None:
         values = values[start : end - 1]
     nframes = values.shape[0]
@@ -203,10 +208,13 @@ def save(filename, data, translations=False):
             cols.append(poss[:, j])
         cols.append(rots[:, j])
     motion = np.concatenate(cols, axis=1)
-    body = "\n".join(" ".join("%f" % v for v in row) for row in motion)
+    from . import native
+
+    body = native.format_float_matrix(motion)
+    if body is None:
+        body = "\n".join(" ".join("%f" % v for v in row) for row in motion) + "\n"
 
     with open(filename, "w") as f:
         f.write("\n".join(lines))
         f.write("\n")
         f.write(body)
-        f.write("\n")

@@ -121,6 +121,7 @@ def rollout(
     num_rnn_layers=2,
     compute_dtype=jnp.float32,
     unroll=1,
+    remat=False,
 ):
     """Autoregressive rollout.
 
@@ -205,7 +206,11 @@ def rollout(
         jnp.swapaxes(pre_g0, 0, 1),
     )
     carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
-    _, ys = jax.lax.scan(step, carry0, xs, unroll=unroll)
+    # remat: recompute per-step activations in the backward pass instead of
+    # storing T x (gates + projections) — trades ~2x step FLOPs for O(T)
+    # memory reduction on long training windows.
+    step_fn = jax.checkpoint(step) if remat else step
+    _, ys = jax.lax.scan(step_fn, carry0, xs, unroll=unroll)
 
     def stack(first, rest):
         return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)

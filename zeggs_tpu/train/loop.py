@@ -111,6 +111,7 @@ def make_loss_fn(opts: Options, stats, parents, dt):
             dt, rnn_cond=net.decoder.rnn_cond,
             num_rnn_layers=net.decoder.num_rnn_layers,
             compute_dtype=jnp.dtype(opts.train.compute_dtype),
+            remat=opts.train.remat,
         )
         O = dict(zip(_POSE_KEYS, outputs))
         W = {k: batch[k] for k in _POSE_KEYS}
