@@ -128,3 +128,24 @@ def test_change_bvh(tmp_path):
     # centered: root starts at (x=0, z=0)
     assert abs(out["positions"][0, 0, 0]) < 1e-3
     assert abs(out["positions"][0, 0, 2]) < 1e-3
+
+
+def test_compare_cli(tmp_path, capsys):
+    from zeggs_tpu.cli.compare import compare_bvh, main
+
+    anim = make_motion(40)
+    a, b = tmp_path / "a.bvh", tmp_path / "b.bvh"
+    bvh.save(a, anim)
+    anim2 = dict(anim)
+    anim2["rotations"] = anim["rotations"] + 0.5
+    bvh.save(b, anim2)
+    r = compare_bvh(str(a), str(a))
+    assert r["comparable"] and r["rotation_mae_deg"] < 1e-5
+    r2 = compare_bvh(str(a), str(b))
+    assert abs(r2["rotation_mae_deg"] - 0.5) < 1e-3
+    assert r2["joint_position_error_mean"] > 0
+    main([str(a), str(b), "--json"])
+    out = capsys.readouterr().out
+    import json as _json
+
+    assert _json.loads(out)["comparable"]

@@ -20,6 +20,31 @@ from ..utils import flatten_dict
 from ..utils.metrics import make_writer
 
 
+def _provenance():
+    """Git hash + versions for experiment reproducibility."""
+    import platform
+    import subprocess
+
+    import jax
+
+    from .. import __version__
+
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=Path(__file__).resolve().parents[2],
+        ).stdout.strip()
+    except Exception:
+        rev = None
+    return {
+        "zeggs_tpu": __version__,
+        "git": rev,
+        "jax": jax.__version__,
+        "python": platform.python_version(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="zeggs_tpu.train", description="Train ZEGGS-TPU networks")
     p.add_argument("-o", "--options", type=str, required=True)
@@ -38,6 +63,9 @@ def main(argv=None):
     merged = opts.to_options_dict()
     merged["paths"]["output_dir"] = str(output_dir)
     merged["paths"]["models_dir"] = str(models_dir)
+    # reproducibility stamp (replaces the reference's full code-dir snapshot,
+    # helpers.py:6-11, with provenance that doesn't balloon the output dir)
+    merged["provenance"] = _provenance()
     (output_dir / "options.json").write_text(json.dumps(merged, indent=4))
 
     writer = make_writer(logs_dir, opts.train.use_tensorboard)
