@@ -18,7 +18,6 @@ TPU-first deviations:
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 import numpy as np
 

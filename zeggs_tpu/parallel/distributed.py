@@ -9,7 +9,6 @@ shard of the global batch (`local_batch_slice`).
 from __future__ import annotations
 
 import jax
-import numpy as np
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):

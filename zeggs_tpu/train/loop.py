@@ -249,8 +249,6 @@ class Trainer:
 
     def generate_samples(self, n=3, length_s=30):
         """Ground/predict BVH pairs for train+valid clips (train.py:477-729)."""
-        from ..infer.generate import GesturePipeline  # noqa: F401  (shape only)
-
         stats = {k: jnp.asarray(v) for k, v in self.ds.stats.items()}
         for which in ("train", "valid"):
             for i in range(n):

@@ -42,7 +42,7 @@ def world_space_reexpression(root_pos, root_rot, root_vel, root_vrt, lpos, ltxy,
     root_vrt_w = _shifted_world_vel(root_rot, root_vrt)
 
     l0_pos = quat.mul_vec(root_rot, lpos[:, :, 0]) + root_pos
-    l0_mat = jnp.matmul(quat.to_xform(root_rot), lmat[:, :, 0])
+    l0_mat = fk.mat3_mul(quat.to_xform(root_rot), lmat[:, :, 0])
     l0_vel = (
         root_vel_w
         + quat.mul_vec(root_rot, lvel[:, :, 0])
