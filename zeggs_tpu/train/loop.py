@@ -157,6 +157,7 @@ class Trainer:
         path_data_definition,
         mesh=None,
         writer=None,
+        device_corpus=True,
     ):
         self.opts = opts
         self.models_dir = Path(models_dir)
@@ -178,9 +179,19 @@ class Trainer:
         dims = self.ds.get_shapes()
         self.key, init_key = jax.random.split(self.key)
         self.params = init_networks(init_key, opts, dims, self.ds.nlabels)
-        self.tx, self.train_step = make_train_step(
-            opts, self.ds.stats, self.ds.parents, self.ds.dt, mesh=self.mesh
-        )
+        self.device_corpus = None
+        if device_corpus:
+            from ..data.device_dataset import DeviceCorpus, make_device_train_step
+
+            self.device_corpus = DeviceCorpus(self.ds)
+            self.tx, self.train_step = make_device_train_step(
+                opts, self.ds.stats, self.ds.parents, self.ds.dt,
+                self.device_corpus, self.ds.nlabels, mesh=self.mesh,
+            )
+        else:
+            self.tx, self.train_step = make_train_step(
+                opts, self.ds.stats, self.ds.parents, self.ds.dt, mesh=self.mesh
+            )
         self.opt_state = self.tx.init(self.params)
         self.iteration = 0
         self.epoch = 0
@@ -212,6 +223,9 @@ class Trainer:
         return self.params
 
     def _run_epochs(self, total, data, log_every, on_step):
+        if self.device_corpus is not None:
+            self._run_epochs_device(total, data, log_every, on_step)
+            return
         t = self.opts.train
         while self.iteration < total:
             for batch in self.ds.batches(t.batchsize, self.rng):
@@ -233,6 +247,43 @@ class Trainer:
                     try:
                         self.generate_samples(3)
                     except Exception as e:  # sample synthesis must not kill training
+                        print(f"sample synthesis failed: {e}", file=sys.stderr)
+                self.iteration += 1
+            self.epoch += 1
+
+    def _run_epochs_device(self, total, data, log_every, on_step):
+        """Device-resident-corpus loop: only index vectors cross H2D."""
+        t = self.opts.train
+        ds = self.ds
+        label_mode = t.style_encoding_type == "label"
+        while self.iteration < total:
+            order = self.rng.permutation(len(ds))
+            for b in range(len(order) // t.batchsize):
+                if self.iteration >= total:
+                    break
+                idx = order[b * t.batchsize : (b + 1) * t.batchsize]
+                if label_mode:
+                    starts = ds.window_starts[idx].astype(np.int32)
+                    ex_arg = ds.window_labels[idx].astype(np.int32)
+                    ex_len = np.zeros(len(idx), np.int32)
+                else:
+                    ewl = ds.sample_example_length(self.rng)
+                    starts, ex_arg, ex_len = self.device_corpus.sample_indices(idx, ewl)
+                args = jax.tree.map(lambda x: jax.device_put(x, data), (starts, ex_arg, ex_len))
+                self.key, step_key = jax.random.split(self.key)
+                self.params, self.opt_state, metrics = self.train_step(
+                    self.params, self.opt_state, *args,
+                    jnp.float32(self.iteration), step_key,
+                )
+                if self.writer is not None and (self.iteration % log_every == 0):
+                    self.writer.write(self.iteration, {k: float(v) for k, v in metrics.items()})
+                if on_step is not None:
+                    on_step(self.iteration, metrics)
+                if self.iteration % t.generate_samples_step == 0:
+                    self.save_checkpoint()
+                    try:
+                        self.generate_samples(3)
+                    except Exception as e:
                         print(f"sample synthesis failed: {e}", file=sys.stderr)
                 self.iteration += 1
             self.epoch += 1
