@@ -142,3 +142,45 @@ def test_generate_raw_embedding_style(corpus):
         pipeline=pipe,
     )
     assert (results / "raw.bvh").exists()
+
+
+def test_generate_label_mode(corpus):
+    """Label-based style encoding (v2-model path): one-hot style +
+    mandatory first_pose."""
+    data_dir, net_dir, clips, opts = corpus
+    import jax
+    from zeggs_tpu.io import checkpoint
+    from zeggs_tpu.models import decoder as dec_mod
+    from tests.synthetic import LABELS, POSE_IN, POSE_OUT
+
+    # decoder trained with style size = nlabels
+    label_net = data_dir.parent / "label_models"
+    label_net.mkdir(exist_ok=True)
+    key = jax.random.PRNGKey(4)
+    checkpoint.save(
+        label_net / "decoder.npz",
+        dec_mod.init(key, POSE_IN, POSE_OUT, opts.net.speech_encoder.speech_encoding_size,
+                     len(LABELS), opts.net.decoder.nhidden, 2),
+    )
+    import shutil
+
+    # reuse the speech encoder from the example-based corpus
+    shutil.copy(net_dir / "speech_encoder.npz", label_net / "speech_encoder.npz")
+
+    results = data_dir.parent / "label_results"
+    pipe = GesturePipeline(label_net, data_dir, options=opts, style_encoding_type="label")
+    enc = generate_gesture(
+        audio_file=clips[0][1],
+        styles=["Happy"],
+        network_path=label_net,
+        data_path=data_dir,
+        results_path=results,
+        style_encoding_type="label",
+        first_pose=clips[0][0],
+        file_name="label_out",
+        pipeline=pipe,
+    )
+    assert enc.shape == (1, len(LABELS))
+    assert float(np.asarray(enc)[0, LABELS.index("Happy")]) == 1.0
+    anim = bvh.load(results / "label_out.bvh")
+    assert np.isfinite(anim["rotations"]).all()

@@ -316,3 +316,61 @@ def test_device_train_step_runs(processed_corpus):
         losses.append(float(metrics["total_loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_gru_style_encoder_train_step(processed_corpus):
+    """Training with the GRU-body style encoder variant."""
+    base = small_options()
+    opts = C.Options(
+        net=C.NetworkConfig(
+            decoder=base.net.decoder,
+            speech_encoder=base.net.speech_encoder,
+            style_encoder=C.StyleEncoderConfig(
+                nhidden=16, style_encoding_size=8, example_length=64,
+                type="gru", use_vae=True,
+            ),
+        ),
+        train=C.TrainConfig(batchsize=4, window=32),
+    )
+    ds = WindowedDataset(
+        processed_corpus / "data_definition.json",
+        processed_corpus / "processed_data.npz",
+        window=32, style_encoding_type="example", example_length=64,
+    )
+    mesh = create_mesh(4)
+    key = jax.random.PRNGKey(2)
+    params = init_networks(key, opts, ds.get_shapes(), ds.nlabels)
+    assert "gru_fwd" in params["style_encoder"]["body"]
+    tx, step = make_train_step(opts, ds.stats, ds.parents, ds.dt, mesh=mesh)
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(2)
+    batch = ds.make_batch(rng.integers(0, len(ds), size=4), rng=rng)
+    params, opt_state, metrics = step(params, opt_state, batch, jnp.float32(0), key)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_film_decoder_train_step(processed_corpus):
+    """Training with the FiLM-conditioned decoder cell."""
+    base = small_options()
+    opts = C.Options(
+        net=C.NetworkConfig(
+            decoder=C.DecoderConfig(nhidden=16, num_rnn_layers=2, rnn_cond="film"),
+            speech_encoder=base.net.speech_encoder,
+            style_encoder=base.net.style_encoder,
+        ),
+        train=C.TrainConfig(batchsize=4, window=32),
+    )
+    ds = WindowedDataset(
+        processed_corpus / "data_definition.json",
+        processed_corpus / "processed_data.npz",
+        window=32, style_encoding_type="example", example_length=64,
+    )
+    key = jax.random.PRNGKey(3)
+    params = init_networks(key, opts, ds.get_shapes(), ds.nlabels)
+    assert "gammas" in params["decoder"]["cell"]
+    tx, step = make_train_step(opts, ds.stats, ds.parents, ds.dt, mesh=create_mesh(4))
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(3)
+    batch = ds.make_batch(rng.integers(0, len(ds), size=4), rng=rng)
+    params, opt_state, metrics = step(params, opt_state, batch, jnp.float32(0), key)
+    assert np.isfinite(float(metrics["total_loss"]))
