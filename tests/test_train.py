@@ -374,3 +374,39 @@ def test_film_decoder_train_step(processed_corpus):
     batch = ds.make_batch(rng.integers(0, len(ds), size=4), rng=rng)
     params, opt_state, metrics = step(params, opt_state, batch, jnp.float32(0), key)
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_pipeline_with_process_pool(tmp_path):
+    """Pipeline workers (spawn + CPU-pinned children) produce identical
+    output to the serial path."""
+    from tests.synthetic import write_raw_corpus
+
+    write_raw_corpus(tmp_path, n_clips=2, seconds=3.0)
+    mk = lambda out, save: C.PipelineConfig(
+        base_path=str(tmp_path), processed_data_path=out, info_filename="info.csv",
+        audio_conf=C.MelConfig(normalize_loudness=False), len_ratios=(1.0,),
+        save_trimmed_audio=False, save_trimmed_animation=False, save_final_data=save,
+    )
+    serial, _ = data_pipeline(mk("p_serial", False))
+    parallel, _ = data_pipeline(mk("p_pool", False), num_workers=2)
+    np.testing.assert_allclose(
+        serial["X_audio_features"], parallel["X_audio_features"], atol=1e-6
+    )
+    np.testing.assert_allclose(serial["Y_lpos"], parallel["Y_lpos"], atol=1e-6)
+
+
+def test_pipeline_host_sharding(tmp_path):
+    """process_index/process_count stride the clip list across hosts."""
+    from tests.synthetic import write_raw_corpus
+
+    write_raw_corpus(tmp_path, n_clips=3, seconds=3.0)
+    conf = lambda out: C.PipelineConfig(
+        base_path=str(tmp_path), processed_data_path=out, info_filename="info.csv",
+        audio_conf=C.MelConfig(normalize_loudness=False), len_ratios=(1.0,),
+        save_trimmed_audio=False, save_trimmed_animation=False, save_final_data=False,
+    )
+    s0, _ = data_pipeline(conf("s0"), process_index=0, process_count=2)
+    s1, _ = data_pipeline(conf("s1"), process_index=1, process_count=2)
+    total, _ = data_pipeline(conf("sall"))
+    n0, n1 = len(s0["X_audio_features"]), len(s1["X_audio_features"])
+    assert n0 + n1 == len(total["X_audio_features"])

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import csv
 import json
+import multiprocessing
+import os
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
@@ -127,6 +129,17 @@ def process_clip(anim_data, audio_data, conf: PipelineConfig, anim_fps=60):
     return out
 
 
+def _worker_init():
+    """Pin pipeline workers to the CPU backend (the TPU tunnel is
+    single-client; see docs/DESIGN.md §7)."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def _process_one(args):
     (i, row, base, conf_dict, anim_fps) = args
     conf = PipelineConfig.from_dict(conf_dict)
@@ -232,8 +245,27 @@ def data_pipeline(conf, num_workers=None, process_index=0, process_count=1):
 
     tasks = [(i, row, str(base), conf.to_dict(), 60) for i, row in enumerate(rows)]
     if num_workers and num_workers > 1:
-        with ProcessPoolExecutor(max_workers=num_workers) as pool:
-            nested = list(pool.map(_process_one, tasks))
+        # spawn (never fork an initialized XLA runtime) + CPU-only children:
+        # per-clip feature math is host-parallel by design; the TPU stays
+        # with the main process. Accelerator-plugin env triggers are stripped
+        # so spawned children don't claim/contend for the device.
+        ctx = multiprocessing.get_context("spawn")
+        saved_env = {
+            k: os.environ.pop(k, None)
+            for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS", "TPU_NAME")
+        }
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            with ProcessPoolExecutor(
+                max_workers=num_workers, mp_context=ctx, initializer=_worker_init
+            ) as pool:
+                nested = list(pool.map(_process_one, tasks))
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     else:
         nested = [_process_one(t) for t in tasks]
 

@@ -30,7 +30,7 @@ from ..data import features as F
 from ..io import bvh, checkpoint, wav
 from ..models import decoder, pose, speech_encoder, style_encoder
 from ..ops import mel, quat, xform
-from ..utils import split_by_ratio, write_bvh
+from ..utils import host_cpu, split_by_ratio, write_bvh
 
 
 def _round_up(n, m):
@@ -167,7 +167,8 @@ class GesturePipeline:
             desired_nb_channels=None, out_type="float32",
         )
         n_frames = int(round(60.0 * (len(audio) / self.mel_cfg.sampling_rate)))
-        feats = F.preprocess_audio(audio, 60, n_frames, self.mel_cfg, self.audio_feature_type)
+        with host_cpu():
+            feats = F.preprocess_audio(audio, 60, n_frames, self.mel_cfg, self.audio_feature_type)
         return jnp.asarray(feats), n_frames
 
     def style_example_from_bvh(self, path, frames=None):
@@ -177,10 +178,11 @@ class GesturePipeline:
             anim["positions"] = anim["positions"][frames[0] : frames[1]]
         fps = int(np.ceil(1.0 / anim["frametime"]))
         assert fps == 60, f"style example must be 60 fps, got {fps}"
-        feats = F.preprocess_animation(anim)
-        vec = pose.example_feature_vec(
-            feats.root_vel, feats.root_vrt, feats.lpos, feats.ltxy, feats.lvel, feats.lvrt
-        )
+        with host_cpu():
+            feats = F.preprocess_animation(anim)
+            vec = pose.example_feature_vec(
+                feats.root_vel, feats.root_vrt, feats.lpos, feats.ltxy, feats.lvel, feats.lvrt
+            )
         return vec, feats
 
     def encode_style(self, example_vec, temperature=1.0, rng=None):
@@ -225,7 +227,8 @@ class GesturePipeline:
         results_path.mkdir(exist_ok=True, parents=True)
         o_root_pos, o_root_rot = rollout_out[0], rollout_out[1]
         o_lpos, o_ltxy = rollout_out[4], rollout_out[5]
-        lrot = quat.from_xform(xform.orthogonalize_from_xy(o_ltxy))
+        with host_cpu():
+            lrot = quat.from_xform(xform.orthogonalize_from_xy(jnp.asarray(np.asarray(o_ltxy))))
         out_file = results_path / (file_name + ".bvh")
         write_bvh(
             str(out_file),
@@ -342,7 +345,10 @@ def generate_gesture(
             anim = bvh.load(first_pose)
         else:
             anim = dict(first_pose)
-        feats0 = F.preprocess_animation(anim)
+        from ..utils import host_cpu as _host_cpu
+
+        with _host_cpu():
+            feats0 = F.preprocess_animation(anim)
     else:
         feats0 = last_feats
         assert feats0 is not None, "no first pose available"

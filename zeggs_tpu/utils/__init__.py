@@ -29,6 +29,19 @@ def write_bvh(
     optionally re-anchor the trajectory to (start_position, start_rotation),
     bake the root transform into joint 0, convert quats to Euler degrees.
     """
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _write_bvh_host(
+            filename, root_pos, root_rot, lpos, lrot, parents, names, order,
+            dt, start_position, start_rotation,
+        )
+
+
+def _write_bvh_host(
+    filename, root_pos, root_rot, lpos, lrot, parents, names, order, dt,
+    start_position, start_rotation,
+):
     root_pos = np.asarray(root_pos)
     root_rot = np.asarray(root_rot)
     lpos = np.asarray(lpos).copy()
@@ -134,3 +147,16 @@ def change_bvh(filename, savename, order=None, fps=None, pace=1.0, center=False)
         )
 
     bvh_io.save(savename, output)
+
+
+def host_cpu():
+    """Context manager pinning eager jnp math to the host CPU backend.
+
+    Host-side feature extraction and BVH conversion are many small eager
+    ops; dispatching them to the accelerator costs a device round-trip per
+    op (30 ms each through a remote tunnel). Wrap host math in this context
+    so only the compiled compute path touches the TPU.
+    """
+    import jax
+
+    return jax.default_device(jax.devices("cpu")[0])
