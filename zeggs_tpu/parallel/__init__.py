@@ -1,4 +1,10 @@
 """Device mesh + sharding specs (the reference has no distributed layer;
 this is the TPU-native scaling module, SURVEY.md §2 'net new')."""
 
-from .mesh import create_mesh, batch_sharding, replicated, shard_batch  # noqa: F401
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    pad_batch_to_devices,
+    replicated,
+    shard_batch,
+)
