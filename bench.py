@@ -38,8 +38,9 @@ def make_synthesis_fn(params, stats, compute_dtype, unroll=1):
             stats["anim_input_mean"], stats["anim_input_std"],
             stats["anim_output_mean"], stats["anim_output_std"],
             1.0 / 60.0, compute_dtype=compute_dtype, unroll=unroll,
+            output_indices=(0, 1, 4, 5),
         )
-        return out[0], out[1], out[4], out[5]
+        return out
 
     return jax.jit(fn)
 
@@ -74,9 +75,9 @@ def main():
     seconds = 10.0
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    # single winning config (measured sweep: 128->1.44M, 512->2.46M,
-    # 1024->2.83M frames/s) to keep compile time bounded
-    batches = (1024,) if on_tpu else (8,)
+    # single winning config (measured sweep: 128->1.44M, 1024->3.11M,
+    # 2048->3.37M frames/s) to keep compile time bounded
+    batches = (2048,) if on_tpu else (8,)
     unroll = 4 if on_tpu else 1
     iters = 4 if on_tpu else 2
 

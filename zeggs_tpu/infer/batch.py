@@ -139,7 +139,7 @@ def generate_batch(
                 if sharding is not None:
                     args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
                 out = pipe._rollout_fn(T_pad)(*args)
-                host = jax.device_get((out[0], out[1], out[4], out[5]))
+                host = jax.device_get(out[:4])  # (root_pos, root_rot, lpos, ltxy)
 
                 for i, (req, af, n, se, fp) in enumerate(chunk):
                     futures.append(
@@ -154,6 +154,5 @@ def generate_batch(
 
 
 def _write_one(pipe, results_path, req, host_slices):
-    rollout_like = (host_slices[0], host_slices[1], None, None, host_slices[2], host_slices[3])
-    out_file = pipe.write_result(results_path, req.file_name, rollout_like, req.audio)
+    out_file = pipe.write_result(results_path, req.file_name, host_slices, req.audio)
     return out_file

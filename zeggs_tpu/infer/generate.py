@@ -154,6 +154,9 @@ class GesturePipeline:
                     self.dt,
                     rnn_cond=dec_cfg.rnn_cond,
                     num_rnn_layers=dec_cfg.num_rnn_layers,
+                    # inference consumes (root_pos, root_rot, lpos, ltxy);
+                    # selecting here halves rollout HBM for large batches
+                    output_indices=(0, 1, 4, 5),
                 )
 
             self._rollout_cache[n_frames] = fn
@@ -225,8 +228,7 @@ class GesturePipeline:
     def write_result(self, results_path, file_name, rollout_out, audio_file=None):
         results_path = Path(results_path)
         results_path.mkdir(exist_ok=True, parents=True)
-        o_root_pos, o_root_rot = rollout_out[0], rollout_out[1]
-        o_lpos, o_ltxy = rollout_out[4], rollout_out[5]
+        o_root_pos, o_root_rot, o_lpos, o_ltxy = rollout_out[:4]
         with host_cpu():
             lrot = quat.from_xform(xform.orthogonalize_from_xy(jnp.asarray(np.asarray(o_ltxy))))
         out_file = results_path / (file_name + ".bvh")

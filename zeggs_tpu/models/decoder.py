@@ -122,6 +122,7 @@ def rollout(
     compute_dtype=jnp.float32,
     unroll=1,
     remat=False,
+    output_indices=None,
 ):
     """Autoregressive rollout.
 
@@ -162,11 +163,15 @@ def rollout(
     # gru0 input = [hidden(H) | pose | speech | style]
     wg_h, wg_pose, wg_sp, wg_st = _split_w(cp["gru0"]["w_ih"].astype(cd), (H, pose_dim, S, C))
 
+    # conditioning [speech|style] stays (B, T, S+C) and is projected inside
+    # the scan: materializing the (B, T, 3H) projection for all frames costs
+    # 3.7 GB at B=1024 (OOM at B=2048) while the per-step (S+C)-dim matmul
+    # is ~2% of the step's FLOPs.
     cond = jnp.concatenate([speech_encoding[:, 1:], style_encoding[:, 1:]], axis=-1).astype(cd)
     w_sp_st_l0 = jnp.concatenate([w0_sp, w0_st], axis=0)
     w_sp_st_g0 = jnp.concatenate([wg_sp, wg_st], axis=0)
-    pre_l0 = cond @ w_sp_st_l0 + cp["layer0"]["b"].astype(cd)  # (B, T-1, H)
-    pre_g0 = cond @ w_sp_st_g0 + cp["gru0"]["b_ih"].astype(cd)  # (B, T-1, 3H)
+    b_l0 = cp["layer0"]["b"].astype(cd)
+    b_g0 = cp["gru0"]["b_ih"].astype(cd)
 
     gru0_rest = {k: v.astype(cd) for k, v in cp["gru0"].items() if k != "w_ih"}
     gru1 = {k: v.astype(cd) for k, v in cp["gru1"].items()}
@@ -180,11 +185,11 @@ def rollout(
 
     def step(carry, xs):
         h, rp, rr, rv, rw, jp, jt, jv, jw = carry
-        gaze_t, pre_l0_t, pre_g0_t = xs
+        gaze_t, cond_t = xs
         pose = P.vectorize_input(rp, rr, rv, rw, jp, jt, jv, jw, gaze_t, mean_in, std_in)
         pose_c = pose.astype(cd)
-        hidden = jax.nn.elu(pre_l0_t + pose_c @ w0_pose)
-        gi = pre_g0_t + hidden @ wg_h + pose_c @ wg_pose
+        hidden = jax.nn.elu(cond_t @ w_sp_st_l0 + b_l0 + pose_c @ w0_pose)
+        gi = cond_t @ w_sp_st_g0 + b_g0 + hidden @ wg_h + pose_c @ wg_pose
         # GRU layer 0 (input projection precomputed above)
         gh = h[0].astype(cd) @ gru0_rest["w_hh"] + gru0_rest["b_hh"]
         r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
@@ -198,12 +203,15 @@ def rollout(
         nrp, nrr, nrv, nrw, njp, njt, njv, njw = new
         new_h = jnp.stack([h1.astype(jnp.float32), h2.astype(jnp.float32)])
         new_carry = (new_h, nrp, nrr, nrv, nrw, njp, njt, njv, njw)
-        return new_carry, new[:2] + new[2:]
+        # stack only the requested trajectories: the scan materializes
+        # (T, B, ...) for every emitted output, so inference (which needs 4
+        # of 8) halves rollout HBM by selecting here.
+        emit = new if output_indices is None else tuple(new[i] for i in output_indices)
+        return new_carry, emit
 
     xs = (
         jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
-        jnp.swapaxes(pre_l0, 0, 1),
-        jnp.swapaxes(pre_g0, 0, 1),
+        jnp.swapaxes(cond, 0, 1),
     )
     carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
     # remat: recompute per-step activations in the backward pass instead of
@@ -215,17 +223,10 @@ def rollout(
     def stack(first, rest):
         return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
 
-    o_rp, o_rr, o_rv, o_rw, o_jp, o_jt, o_jv, o_jw = ys
-    return (
-        stack(root_pos, o_rp),
-        stack(root_rot, o_rr),
-        stack(root_vel, o_rv),
-        stack(root_vrt, o_rw),
-        stack(lpos, o_jp),
-        stack(ltxy, o_jt),
-        stack(lvel, o_jv),
-        stack(lvrt, o_jw),
-    )
+    firsts = (root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
+    if output_indices is None:
+        return tuple(stack(f, y) for f, y in zip(firsts, ys))
+    return tuple(stack(firsts[i], y) for i, y in zip(output_indices, ys))
 
 
 def _rollout_film(
