@@ -50,6 +50,11 @@ def main(argv=None):
     p.add_argument("-o", "--options", type=str, required=True)
     p.add_argument("-n", "--name", type=str, required=False)
     p.add_argument("--max-iterations", type=int, default=None, help="override 1000*niterations")
+    p.add_argument(
+        "--host-batches", action="store_true",
+        help="assemble batches on host instead of the device-resident corpus "
+        "(for corpora larger than device HBM)",
+    )
     args = p.parse_args(argv)
 
     opts = Options.from_options_json(args.options)
@@ -73,7 +78,8 @@ def main(argv=None):
         writer.write_hparams(flatten_dict(merged["net_opt"]) | flatten_dict(merged["train_opt"]))
 
     trainer = Trainer(
-        opts, models_dir, logs_dir, path_processed_data, path_data_definition, writer=writer
+        opts, models_dir, logs_dir, path_processed_data, path_data_definition,
+        writer=writer, device_corpus=not args.host_batches,
     )
 
     def on_step(it, metrics):

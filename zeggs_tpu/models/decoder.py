@@ -163,15 +163,21 @@ def rollout(
     # gru0 input = [hidden(H) | pose | speech | style]
     wg_h, wg_pose, wg_sp, wg_st = _split_w(cp["gru0"]["w_ih"].astype(cd), (H, pose_dim, S, C))
 
-    # conditioning [speech|style] stays (B, T, S+C) and is projected inside
-    # the scan: materializing the (B, T, 3H) projection for all frames costs
-    # 3.7 GB at B=1024 (OOM at B=2048) while the per-step (S+C)-dim matmul
-    # is ~2% of the step's FLOPs.
+    # The [speech|style] conditioning projection can either be hoisted out
+    # of the scan as one big (B, T, 3H+H) matmul — best at small batch,
+    # where per-step M=1 matmuls are overhead-bound (B=1 latency 63 ms vs
+    # 240 ms in-step) — or computed per step, which avoids materializing
+    # the (B, T, 3H) tensor (3.7 GB at B=1024; OOM at B=2048) at ~2% extra
+    # step FLOPs. Pick by the hoisted tensor's size (static shapes).
     cond = jnp.concatenate([speech_encoding[:, 1:], style_encoding[:, 1:]], axis=-1).astype(cd)
     w_sp_st_l0 = jnp.concatenate([w0_sp, w0_st], axis=0)
     w_sp_st_g0 = jnp.concatenate([wg_sp, wg_st], axis=0)
     b_l0 = cp["layer0"]["b"].astype(cd)
     b_g0 = cp["gru0"]["b_ih"].astype(cd)
+    hoist = B * T * 4 * H * jnp.dtype(cd).itemsize < 512 * 1024 * 1024
+    if hoist:
+        pre_l0 = cond @ w_sp_st_l0 + b_l0  # (B, T-1, H)
+        pre_g0 = cond @ w_sp_st_g0 + b_g0  # (B, T-1, 3H)
 
     gru0_rest = {k: v.astype(cd) for k, v in cp["gru0"].items() if k != "w_ih"}
     gru1 = {k: v.astype(cd) for k, v in cp["gru1"].items()}
@@ -185,11 +191,16 @@ def rollout(
 
     def step(carry, xs):
         h, rp, rr, rv, rw, jp, jt, jv, jw = carry
-        gaze_t, cond_t = xs
+        if hoist:
+            gaze_t, pre_l0_t, pre_g0_t = xs
+        else:
+            gaze_t, cond_t = xs
+            pre_l0_t = cond_t @ w_sp_st_l0 + b_l0
+            pre_g0_t = cond_t @ w_sp_st_g0 + b_g0
         pose = P.vectorize_input(rp, rr, rv, rw, jp, jt, jv, jw, gaze_t, mean_in, std_in)
         pose_c = pose.astype(cd)
-        hidden = jax.nn.elu(cond_t @ w_sp_st_l0 + b_l0 + pose_c @ w0_pose)
-        gi = cond_t @ w_sp_st_g0 + b_g0 + hidden @ wg_h + pose_c @ wg_pose
+        hidden = jax.nn.elu(pre_l0_t + pose_c @ w0_pose)
+        gi = pre_g0_t + hidden @ wg_h + pose_c @ wg_pose
         # GRU layer 0 (input projection precomputed above)
         gh = h[0].astype(cd) @ gru0_rest["w_hh"] + gru0_rest["b_hh"]
         r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
@@ -209,10 +220,17 @@ def rollout(
         emit = new if output_indices is None else tuple(new[i] for i in output_indices)
         return new_carry, emit
 
-    xs = (
-        jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
-        jnp.swapaxes(cond, 0, 1),
-    )
+    if hoist:
+        xs = (
+            jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
+            jnp.swapaxes(pre_l0, 0, 1),
+            jnp.swapaxes(pre_g0, 0, 1),
+        )
+    else:
+        xs = (
+            jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
+            jnp.swapaxes(cond, 0, 1),
+        )
     carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
     # remat: recompute per-step activations in the backward pass instead of
     # storing T x (gates + projections) — trades ~2x step FLOPs for O(T)
