@@ -4,6 +4,7 @@ this is the TPU-native scaling module, SURVEY.md §2 'net new')."""
 from .mesh import (  # noqa: F401
     batch_sharding,
     create_mesh,
+    create_mesh_for_batch,
     pad_batch_to_devices,
     replicated,
     shard_batch,

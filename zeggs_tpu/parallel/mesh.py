@@ -55,3 +55,14 @@ def pad_batch_to_devices(batch, n_devices):
         return np.concatenate([x, np.repeat(x[-1:], rem, axis=0)], axis=0)
 
     return jax.tree.map(pad, batch)
+
+
+def create_mesh_for_batch(batch_size, axis_name="data", devices=None):
+    """Mesh over the most devices that evenly divide ``batch_size`` — small
+    debug batches shouldn't crash on a large slice."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return create_mesh(n, axis_name, devices)

@@ -29,7 +29,7 @@ from ..data.dataset import WindowedDataset
 from ..io import checkpoint
 from ..models import decoder, speech_encoder, style_encoder
 from ..ops import quat, xform
-from ..parallel import batch_sharding, create_mesh, replicated
+from ..parallel import batch_sharding, create_mesh, create_mesh_for_batch, replicated
 from ..utils import write_bvh
 from . import radam as radam_lib
 from .loss import compute_loss
@@ -172,7 +172,7 @@ class Trainer:
             style_encoding_type=opts.train.style_encoding_type,
             example_length=opts.net.style_encoder.example_length,
         )
-        self.mesh = mesh if mesh is not None else create_mesh()
+        self.mesh = mesh if mesh is not None else create_mesh_for_batch(opts.train.batchsize)
         self.rng = np.random.default_rng(opts.train.seed)
         self.key = jax.random.PRNGKey(opts.train.seed)
 
