@@ -51,8 +51,8 @@ class _FakeDS:
         self.ranges_train = np.array([[0, n_frames]], np.int32)
 
 
-def main():
-    opts = C.Options()
+def main(compute_dtype="float32", remat=False):
+    opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, remat=remat))
     ds = _FakeDS()
     corpus = DeviceCorpus.__new__(DeviceCorpus)
     corpus.ds = ds
@@ -97,4 +97,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(
+        compute_dtype="bfloat16" if "--bf16" in sys.argv else "float32",
+        remat="--remat" in sys.argv,
+    )
