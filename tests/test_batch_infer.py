@@ -81,3 +81,29 @@ def test_generate_batch_sharded_over_mesh(corpus):
     for i in range(5):
         anim = bvh.load(results / f"m{i}.bvh")
         assert np.isfinite(anim["rotations"]).all()
+
+
+def test_generate_batch_stitch_matches_single(corpus):
+    """Stitch transitions in the batched path == single-clip stitch path."""
+    data_dir, net_dir, clips, opts = corpus
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    styles = [(clips[0][0], None), (clips[1][0], None)]
+
+    single_dir = data_dir.parent / "stitch_single"
+    generate_gesture(
+        audio_file=clips[2][1], styles=styles, network_path=net_dir,
+        data_path=data_dir, results_path=single_dir, blend_type="stitch",
+        blend_ratio=[0.5, 0.5], temperature=0.0, seed=3, file_name="st",
+        first_pose=clips[0][0], pipeline=pipe,
+    )
+    batch_dir = data_dir.parent / "stitch_batch"
+    generate_batch(
+        pipe,
+        [Request(audio=clips[2][1], styles=styles, file_name="st",
+                 temperature=0.0, seed=3, blend_type="stitch",
+                 blend_ratio=[0.5, 0.5], first_pose=clips[0][0])],
+        batch_dir, bucket=64,
+    )
+    a = bvh.load(single_dir / "st.bvh")
+    b = bvh.load(batch_dir / "st.bvh")
+    np.testing.assert_allclose(a["rotations"], b["rotations"], atol=2e-3)

@@ -38,6 +38,7 @@ class Request:
     seed: int = 1234
     first_pose: Optional[Path] = None
     frames: Optional[tuple] = None  # style example frame range
+    blend_type: str = "add"  # "add" (mix) or "stitch" (transitions)
     blend_ratio: Sequence[float] = field(default_factory=lambda: [0.5, 0.5])
 
 
@@ -63,8 +64,22 @@ def _prepare(pipe, req: Request):
         else:  # label
             encodings.append(pipe.label_encoding(style))
     if len(encodings) > 1:
-        ratio = jnp.asarray(req.blend_ratio, jnp.float32)
-        style_enc = jnp.einsum("nbc,n->bc", jnp.concatenate([e[None] for e in encodings]), ratio)
+        if req.blend_type == "stitch":
+            # per-frame transitions (generate.py:280-298): each style owns a
+            # contiguous share of the clip; returns (1, n_frames, C)
+            from ..utils import split_by_ratio
+
+            spans = split_by_ratio(n_frames, list(req.blend_ratio))
+            parts = [
+                jnp.repeat(enc[:, None], span[1] - span[0], axis=1)
+                for enc, span in zip(encodings, spans)
+            ]
+            style_enc = jnp.concatenate(parts, axis=1)
+        else:
+            ratio = jnp.asarray(req.blend_ratio, jnp.float32)
+            style_enc = jnp.einsum(
+                "nbc,n->bc", jnp.concatenate([e[None] for e in encodings]), ratio
+            )
     else:
         style_enc = encodings[0]
 
@@ -132,7 +147,12 @@ def generate_batch(
                     audio[i, :n] = af[:n]
                     audio[i, n:] = af[n - 1]  # edge-repeat == replicate pad
                     gaze[i] = np.asarray(fp.gaze_pos[0])
-                    style[i] = np.asarray(se[0])
+                    se = np.asarray(se[0])
+                    if se.ndim == 2:  # per-frame ("stitch") encodings
+                        style[i, :n] = se[:n]
+                        style[i, n:] = se[n - 1]
+                    else:
+                        style[i] = se
 
                 speech = pipe._encode_speech_batched(jnp.asarray(audio))
                 args = (state0, jnp.asarray(gaze), speech, jnp.asarray(style))
