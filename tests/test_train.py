@@ -410,3 +410,30 @@ def test_pipeline_host_sharding(tmp_path):
     total, _ = data_pipeline(conf("sall"))
     n0, n1 = len(s0["X_audio_features"]), len(s1["X_audio_features"])
     assert n0 + n1 == len(total["X_audio_features"])
+
+
+def test_pipeline_debug_artifacts(tmp_path):
+    """save_normalized_animations + visualizers write their files."""
+    from tests.synthetic import write_raw_corpus
+
+    write_raw_corpus(tmp_path, n_clips=1, seconds=3.0)
+    conf = C.PipelineConfig(
+        base_path=str(tmp_path), processed_data_path="processed",
+        info_filename="info.csv", audio_conf=C.MelConfig(normalize_loudness=False),
+        len_ratios=(1.0,), save_trimmed_audio=False, save_trimmed_animation=False,
+        save_final_data=False, save_normalized_animations=True,
+        visualize_gaze=True, visualize_spectrogram=True,
+    )
+    data_pipeline(conf)
+    dbg = tmp_path / "processed" / "normalized_animations"
+    assert list(dbg.glob("*_norm.bvh")) and list(dbg.glob("*_denorm.bvh"))
+    assert list(dbg.glob("*_gaze.png")) and list(dbg.glob("*_spec.png"))
+    # the denormalized animation must reproduce the original root positions
+    from zeggs_tpu.io import bvh as bvh_io
+
+    orig = bvh_io.load(tmp_path / "original" / "000_Synth_0.bvh")
+    denorm = bvh_io.load(next(dbg.glob("*_denorm.bvh")))
+    n = denorm["positions"].shape[0]
+    np.testing.assert_allclose(
+        denorm["positions"][:, 0], orig["positions"][30 : 30 + n, 0], atol=1e-2
+    )

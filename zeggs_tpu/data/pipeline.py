@@ -166,13 +166,26 @@ def _process_one(args):
     for len_ratio in conf.len_ratios:
         anim_i, audio_i = time_stretch(anim_data, audio_data, float(len_ratio))
         clip = process_clip(anim_i, audio_i, conf, anim_fps)
+        name = f"{Path(row['anim_bvh']).stem}_x_{str(len_ratio).replace('.', '_')}"
+        if conf.save_normalized_animations or conf.visualize_gaze:
+            feats = F.preprocess_animation(anim_i)
+            dbg = Path(base) / conf.processed_data_path / "normalized_animations"
+            if conf.save_normalized_animations:
+                save_normalized_animations(anim_i, feats, dbg, name)
+            if conf.visualize_gaze:
+                dbg.mkdir(parents=True, exist_ok=True)
+                visualize_gaze(feats, dbg / f"{name}_gaze.png")
+        if conf.visualize_spectrogram:
+            dbg = Path(base) / conf.processed_data_path / "normalized_animations"
+            dbg.mkdir(parents=True, exist_ok=True)
+            visualize_spectrogram(clip["audio_features"], dbg / f"{name}_spec.png")
         results.append(
             dict(
                 clip=clip,
                 style=row["style"],
                 validation=str(row.get("validation", "FALSE")).upper() in ("TRUE", "1"),
                 len_ratio=float(len_ratio),
-                name=f"{Path(row['anim_bvh']).stem}_x_{str(len_ratio).replace('.', '_')}",
+                name=name,
                 anim=anim_i if conf.save_trimmed_animation else None,
                 audio=audio_i if conf.save_trimmed_audio else None,
                 skeleton=dict(
@@ -340,3 +353,70 @@ def data_pipeline(conf, num_workers=None, process_index=0, process_count=1):
         (out_path / "data_definition.json").write_text(json.dumps(data_definition, indent=4))
 
     return processed_data, data_definition
+
+
+# ---------------------------------------------------------------------------
+# debug artifacts (reference flags: save_normalized_animations,
+# visualize_gaze, visualize_spectrogram — data_pipeline.py:130-138,183-209,
+# 476-479; plots are written as PNGs instead of shown interactively)
+# ---------------------------------------------------------------------------
+
+def save_normalized_animations(anim_data, feats, out_dir, name):
+    """Write <name>_norm.bvh (root-relative joints) and <name>_denorm.bvh
+    (root baked back) for visual inspection (data_pipeline.py:183-209)."""
+    from ..ops import quat as Q
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    order = anim_data["order"]
+
+    norm = dict(anim_data)
+    norm["positions"] = np.asarray(feats.lpos)
+    norm["rotations"] = np.degrees(np.asarray(Q.to_euler(feats.lrot, order=order)))
+    bvh.save(out_dir / f"{name}_norm.bvh", norm)
+
+    lpos_d = np.asarray(feats.lpos).copy()
+    lpos_d[:, 0] = np.asarray(Q.mul_vec(feats.root_rot, feats.lpos[:, 0])) + np.asarray(
+        feats.root_pos
+    )
+    lrot_d = np.asarray(feats.lrot).copy()
+    lrot_d[:, 0] = np.asarray(Q.mul(feats.root_rot, feats.lrot[:, 0]))
+    denorm = dict(anim_data)
+    denorm["positions"] = lpos_d
+    denorm["rotations"] = np.degrees(np.asarray(Q.to_euler(lrot_d, order=order)))
+    bvh.save(out_dir / f"{name}_denorm.bvh", denorm)
+
+
+def visualize_gaze(feats, out_path):
+    """Top-down scatter of gaze target vs root trajectory
+    (data_pipeline.py:130-138), saved as PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    root_pos = np.asarray(feats.root_pos)
+    gaze_pos = np.asarray(feats.gaze_pos)
+    fig, ax = plt.subplots()
+    ax.scatter(root_pos[:, 0], root_pos[:, 2], s=0.2, marker=".", label="root")
+    ax.scatter(gaze_pos[0, 0], gaze_pos[0, 2], marker="*", s=80, label="gaze target")
+    ax.set_aspect("equal")
+    ax.legend()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
+def visualize_spectrogram(audio_features, out_path):
+    """Feature-matrix heatmap (data_pipeline.py:476-479), saved as PNG."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.imshow(np.asarray(audio_features).T, interpolation="nearest", aspect="auto",
+              origin="lower")
+    ax.set_xlabel("frame")
+    ax.set_ylabel("feature")
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
