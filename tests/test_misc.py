@@ -149,3 +149,27 @@ def test_compare_cli(tmp_path, capsys):
     import json as _json
 
     assert _json.loads(out)["comparable"]
+
+
+def test_queue_logger_drains(tmp_path):
+    import queue
+
+    from zeggs_tpu.utils.logs import QueueLogger, get_logger
+
+    q = queue.Queue()
+    proxy = QueueLogger(q)
+    proxy.info("from worker")
+    proxy.warning("careful")
+    target = get_logger("drain_test", log_file=tmp_path / "d.log", console=False)
+    proxy.drain(target)
+    for h in target.handlers:
+        h.flush()
+    text = (tmp_path / "d.log").read_text()
+    assert "from worker" in text and "careful" in text
+
+
+def test_device_memory_stats():
+    from zeggs_tpu.utils.profiling import device_memory_stats
+
+    stats = device_memory_stats()
+    assert len(stats) >= 1
