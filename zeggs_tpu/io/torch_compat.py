@@ -155,7 +155,9 @@ def _install_modules_shim():
     __dict__; no reference code executes)."""
     import torch.nn as nn
 
-    if "modules" in sys.modules and getattr(sys.modules["modules"], "__zeggs_shim__", False):
+    if "modules" in sys.modules:
+        # already importable — either our shim or the genuine reference
+        # modules.py (e.g. the oracle parity harness); both can unpickle
         return sys.modules["modules"]
     shim = types.ModuleType("modules")
     shim.__zeggs_shim__ = True

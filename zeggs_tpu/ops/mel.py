@@ -120,6 +120,44 @@ def num_frames(wav_length, n_fft, step_size, centered=True):
     return 1 + int(math.floor((n - n_fft) / step_size))
 
 
+def num_wav_samples(spectrogram_length, n_fft, step_size, centered=True):
+    """WAV samples covered by a spectrogram segment — inverse of
+    ``num_frames`` (audio/spectrograms.py:292-309); centered extraction
+    pads n_fft//2 on each side, which is subtracted back out."""
+    pad = 2 * (n_fft // 2) if centered else 0
+    return (spectrogram_length - 1) * step_size + n_fft - pad
+
+
+def pre_emphasis_on_mel(mel_spec, preemph, fs, n_mels, mel_fmin=0.0, mel_fmax=None,
+                        min_amplitude=None, normalized_range=True):
+    """Apply pre-emphasis directly in the (log/normalized) mel domain
+    (audio/spectrograms.py:506-545).
+
+    Evaluates the FIR [1, -preemph] magnitude response at the mel-bin
+    center frequencies, converts it to dB (scaled by the normalization
+    range when the spectrogram is range-normalized), applies the
+    reference's empirical clipping correction for the standard
+    (min_amplitude=1e-5, preemph=0.97) configuration, and adds the result
+    to the (n_mels, T) mel spectrogram. Host-side utility (numpy/scipy).
+    """
+    import scipy.signal as sps
+
+    if mel_fmax is None:
+        mel_fmax = float(fs) / 2
+    mels = np.linspace(_hz_to_mel(mel_fmin), _hz_to_mel(mel_fmax), n_mels + 2)
+    bin_freqs = _mel_to_hz(mels)
+    w, h = sps.freqz(b=[1, -preemph], a=[1], worN=bin_freqs[1:-1], fs=fs)
+    h = 20 * np.log10(np.abs(h))
+    h = np.tile(h[:, None], (1, np.asarray(mel_spec).shape[1]))
+    if normalized_range:
+        dbr = -20 * np.log10(min_amplitude)
+        h = h / dbr
+    if min_amplitude == 1e-5 and preemph == 0.97:
+        correction = np.log(w) / 30 - 0.277
+        h = h - np.tile(correction[:, None], (1, h.shape[1]))
+    return np.add(mel_spec, h)
+
+
 # ---------------------------------------------------------------------------
 # Device-side DSP
 # ---------------------------------------------------------------------------
@@ -216,6 +254,7 @@ def audio_features(
     feature_type=("mel_spec", "energy"),
     mel_basis=None,
     window=None,
+    fused=None,
 ):
     """Full per-clip audio featurizer -> (anim_length, n_features).
 
@@ -224,8 +263,23 @@ def audio_features(
       energy = L2 over mel bins of 10**(norm_db/20), resampled with
       linear extrapolation. Loudness normalization (BS.1770) is host-side
       (zeggs_tpu.audio.loudness) and applied by the caller.
+
+    fused: use the single-kernel Pallas DFT+mel (ops/pallas/mel_kernel.py)
+    instead of the batched-rFFT path. Default False: measured on v5e
+    (50x10s clips per dispatch) the XLA rfft path wins, 5.32 vs 5.78
+    ms/clip — XLA already fuses the window/|.|/matmul/log chain, and its
+    FFT beats the DFT-as-matmul FLOP overhead. The kernel is kept
+    available (and parity-tested) as the building block for batched
+    front-ends where framing gathers dominate. docs/DESIGN.md §6.
     """
-    mel_norm_db = mel_spectrogram_tts(jnp.asarray(audio, jnp.float32), cfg, mel_basis, window)
+    if fused is None:
+        fused = False
+    if fused:
+        from .pallas.mel_kernel import fused_mel_spectrogram
+
+        mel_norm_db = fused_mel_spectrogram(jnp.asarray(audio, jnp.float32), cfg)
+    else:
+        mel_norm_db = mel_spectrogram_tts(jnp.asarray(audio, jnp.float32), cfg, mel_basis, window)
     mel = 10.0 ** (mel_norm_db / 20.0)
     log_mel = jnp.log(mel)
     step = (cfg.sampling_rate / cfg.hop_length) / anim_fs
