@@ -1,6 +1,7 @@
 """Parallel helpers: mesh construction, shardings, distributed utilities."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -56,3 +57,53 @@ def test_sharded_computation_correct():
     xs = jax.device_put(x, batch_sharding(mesh))
     total = jax.jit(lambda a: a.sum(), out_shardings=replicated(mesh))(xs)
     assert float(total) == x.sum()
+
+
+def test_sharded_train_step_equals_single_device(tmp_path):
+    """The full pjit'd train step on the 8-device ('data',) mesh produces
+    the same loss AND the same updated parameters as the 1-device step, to
+    fp32 reduction tolerance — the implicit gradient psum must be exact
+    data parallelism, not merely 'finite loss' (VERDICT r1, item 6)."""
+    from tests.synthetic import small_options, write_raw_corpus
+    from zeggs_tpu import config as C
+    from zeggs_tpu.data.dataset import WindowedDataset
+    from zeggs_tpu.data.pipeline import data_pipeline
+    from zeggs_tpu.train.loop import init_networks, make_train_step
+
+    write_raw_corpus(tmp_path, n_clips=3, seconds=4.0)
+    conf = C.PipelineConfig(
+        base_path=str(tmp_path), processed_data_path="processed",
+        info_filename="info.csv", audio_conf=C.MelConfig(normalize_loudness=False),
+        len_ratios=(1.0,), save_trimmed_audio=False, save_trimmed_animation=False,
+    )
+    data_pipeline(conf)
+    opts = small_options()
+    ds = WindowedDataset(
+        tmp_path / "processed" / "data_definition.json",
+        tmp_path / "processed" / "processed_data.npz",
+        window=opts.train.window,
+        style_encoding_type="example",
+        example_length=opts.net.style_encoder.example_length,
+    )
+    params = init_networks(jax.random.PRNGKey(1), opts, ds.get_shapes(), ds.nlabels)
+    rng = np.random.default_rng(0)
+    batch = ds.make_batch(rng.integers(0, len(ds), size=8), rng=rng)
+    step_key = jax.random.PRNGKey(2)
+
+    results = {}
+    for n in (1, 8):
+        mesh = create_mesh(n)
+        tx, step = make_train_step(
+            opts, ds.stats, ds.parents, ds.dt, mesh=mesh, donate=False
+        )
+        opt_state = tx.init(params)
+        bdev = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()}
+        p2, _, metrics = step(params, opt_state, bdev, jnp.float32(0), step_key)
+        results[n] = (jax.device_get(p2), float(metrics["total_loss"]))
+
+    assert results[8][1] == pytest.approx(results[1][1], rel=1e-5)
+    flat1, tree1 = jax.tree.flatten(results[1][0])
+    flat8, tree8 = jax.tree.flatten(results[8][0])
+    assert tree1 == tree8
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)

@@ -178,6 +178,11 @@ def test_pipeline_artifacts(processed_corpus):
     dd = json.loads((processed_corpus / "data_definition.json").read_text())
     assert dd["parents"] == PARENTS
     assert sorted(dd["label_names"]) == sorted(set(LABELS))
+    # dataset summary export (reference: console.save_html -> data_info.html)
+    html = (processed_corpus / "data_info.html").read_text()
+    assert "Data Info" in html and "Total length of dataset" in html
+    for label in set(LABELS):
+        assert label in html
     # acting trim: 3.5 s - 0.5 s = 3 s -> 180 frames at ratio 1.0 (per clip)
     lens = (d["ranges_train"][:, 1] - d["ranges_train"][:, 0]).tolist()
     assert 180 in lens and 162 in lens  # 1.0x and 0.9x
@@ -395,8 +400,11 @@ def test_pipeline_with_process_pool(tmp_path):
     np.testing.assert_allclose(serial["Y_lpos"], parallel["Y_lpos"], atol=1e-6)
 
 
-def test_pipeline_host_sharding(tmp_path):
-    """process_index/process_count stride the clip list across hosts."""
+def test_pipeline_host_sharding_merge_equals_serial(tmp_path):
+    """Sharded pipeline + merge reproduces the serial run BIT-EXACTLY —
+    in particular the normalization statistics are global, never per-host
+    (a per-host stats.npz would silently corrupt multi-host training)."""
+    from zeggs_tpu.data.pipeline import merge_shards
     from tests.synthetic import write_raw_corpus
 
     write_raw_corpus(tmp_path, n_clips=3, seconds=3.0)
@@ -405,11 +413,18 @@ def test_pipeline_host_sharding(tmp_path):
         audio_conf=C.MelConfig(normalize_loudness=False), len_ratios=(1.0,),
         save_trimmed_audio=False, save_trimmed_animation=False, save_final_data=False,
     )
-    s0, _ = data_pipeline(conf("s0"), process_index=0, process_count=2)
-    s1, _ = data_pipeline(conf("s1"), process_index=1, process_count=2)
-    total, _ = data_pipeline(conf("sall"))
-    n0, n1 = len(s0["X_audio_features"]), len(s1["X_audio_features"])
-    assert n0 + n1 == len(total["X_audio_features"])
+    s0, _ = data_pipeline(conf("shards"), process_index=0, process_count=2)
+    s1, _ = data_pipeline(conf("shards"), process_index=1, process_count=2)
+    assert s0 is None and s1 is None  # shard mode defers assembly to merge
+    assert (tmp_path / "shards" / "pipeline_shard_0_of_2.npz").exists()
+    assert (tmp_path / "shards" / "pipeline_shard_1_of_2.npz").exists()
+
+    merged, merged_def = merge_shards(conf("shards"), process_count=2)
+    serial, serial_def = data_pipeline(conf("serial"))
+    assert merged_def["label_names"] == serial_def["label_names"]
+    assert set(merged) == set(serial)
+    for k in serial:
+        np.testing.assert_array_equal(merged[k], serial[k], err_msg=k)
 
 
 def test_pipeline_debug_artifacts(tmp_path):
@@ -437,3 +452,73 @@ def test_pipeline_debug_artifacts(tmp_path):
     np.testing.assert_allclose(
         denorm["positions"][:, 0], orig["positions"][30 : 30 + n, 0], atol=1e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# Trainer: end-to-end run / checkpoint / lossless resume (VERDICT r1 item 4)
+# ---------------------------------------------------------------------------
+
+def _trainer_opts(gss, resume=False):
+    base = small_options()
+    return C.Options(
+        net=base.net,
+        train=C.TrainConfig(
+            batchsize=8, window=32, niterations=1, resume=resume, seed=77,
+            generate_samples_step=gss, use_tensorboard=False,
+        ),
+    )
+
+
+def test_trainer_run_resume_lossless(tmp_path):
+    """Trainer.run -> checkpoint -> new Trainer(resume=True): iteration,
+    epoch, host RNG and PRNG key all continue, and the resumed run
+    reproduces an uninterrupted run's parameters exactly."""
+    from tests.synthetic import write_raw_corpus
+
+    write_raw_corpus(tmp_path, n_clips=3, seconds=2.5)
+    conf = C.PipelineConfig(
+        base_path=str(tmp_path), processed_data_path="processed",
+        info_filename="info.csv", audio_conf=C.MelConfig(normalize_loudness=False),
+        len_ratios=(1.0,), save_trimmed_audio=False, save_trimmed_animation=False,
+    )
+    data_pipeline(conf)
+    dd = tmp_path / "processed" / "data_definition.json"
+    pd_ = tmp_path / "processed" / "processed_data.npz"
+
+    probe = WindowedDataset(dd, pd_, 32, style_encoding_type="example",
+                            example_length=small_options().net.style_encoder.example_length)
+    bpe = len(probe) // 8  # device-corpus batches per epoch
+    assert bpe >= 2
+
+    # --- phase 1: train one epoch, checkpoint, "crash" -------------------
+    m1, l1 = tmp_path / "m_resume", tmp_path / "l_resume"
+    t1 = Trainer(_trainer_opts(gss=bpe), m1, l1, pd_, dd)
+    t1.run(max_iterations=bpe)
+    t1.save_checkpoint()
+    assert (t1.iteration, t1.epoch) == (bpe, 1)
+
+    # sample synthesis wrote finite ground/predict BVH pairs at iteration 0
+    samples = sorted((l1 / "samples").glob("iteration_0_*_ground_*.bvh"))
+    assert samples, "no ground samples written"
+    from zeggs_tpu.io import bvh as bvh_io
+
+    s = bvh_io.load(samples[0])
+    assert np.isfinite(s["positions"]).all() and np.isfinite(s["rotations"]).all()
+
+    # --- phase 2: resume restores every piece of loop state --------------
+    t2 = Trainer(_trainer_opts(gss=bpe, resume=True), m1, l1, pd_, dd)
+    assert t2.iteration == t1.iteration
+    assert t2.epoch == t1.epoch
+    assert t2.rng.bit_generator.state == t1.rng.bit_generator.state
+    np.testing.assert_array_equal(np.asarray(t2.key), np.asarray(t1.key))
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.run(max_iterations=2 * bpe)
+    assert (t2.iteration, t2.epoch) == (2 * bpe, 2)
+
+    # --- uninterrupted control run: identical final parameters -----------
+    m3, l3 = tmp_path / "m_full", tmp_path / "l_full"
+    t3 = Trainer(_trainer_opts(gss=bpe), m3, l3, pd_, dd)
+    t3.run(max_iterations=2 * bpe)
+    for a, b in zip(jax.tree.leaves(t2.params), jax.tree.leaves(t3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)

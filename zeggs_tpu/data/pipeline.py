@@ -241,8 +241,13 @@ def data_pipeline(conf, num_workers=None, process_index=0, process_count=1):
     """Run the full corpus pipeline.
 
     ``process_index``/``process_count`` shard the clip list across hosts
-    (per-host strided shard; each host writes its own artifact set when
-    sharded). Returns (processed_data, data_definition).
+    (per-host strided shard). When sharded, each host writes ONLY a
+    per-shard clip archive (``pipeline_shard_<i>_of_<n>.npz``); the final
+    artifacts — including corpus statistics, which must be *global*, not
+    per-host — are produced by :func:`merge_shards` (run on one host after
+    all shards exist). The merge restores the original info.csv clip order,
+    so the sharded result is bit-identical to a serial run.
+    Returns (processed_data, data_definition), or (None, None) in shard mode.
     """
     if not isinstance(conf, PipelineConfig):
         conf = PipelineConfig.from_dict(dict(conf))
@@ -254,9 +259,11 @@ def data_pipeline(conf, num_workers=None, process_index=0, process_count=1):
 
     with open(base / conf.info_filename, newline="") as f:
         rows = list(csv.DictReader(f))
-    rows = rows[process_index::process_count]
+    # keep GLOBAL row indices so a sharded run can be merged back into the
+    # exact serial clip order
+    indexed_rows = list(enumerate(rows))[process_index::process_count]
 
-    tasks = [(i, row, str(base), conf.to_dict(), 60) for i, row in enumerate(rows)]
+    tasks = [(i, row, str(base), conf.to_dict(), 60) for i, row in indexed_rows]
     if num_workers and num_workers > 1:
         # spawn (never fork an initialized XLA runtime) + CPU-only children:
         # per-clip feature math is host-parallel by design; the TPU stays
@@ -285,6 +292,94 @@ def data_pipeline(conf, num_workers=None, process_index=0, process_count=1):
     # flatten preserving clip order (then augmentation order)
     all_clips = [c for clip_list in nested for c in clip_list]
 
+    if process_count > 1:
+        _save_shard(out_path, all_clips, conf, process_index, process_count)
+        return None, None
+
+    return _assemble(all_clips, conf, out_path)
+
+
+def _save_shard(out_path, all_clips, conf, process_index, process_count):
+    """Persist this host's processed clips (arrays via the flattened-npz
+    checkpoint format; per-clip metadata in the JSON meta blob). Trimmed
+    debug artifacts are already written per clip during assembly on merge."""
+    from ..io import checkpoint
+
+    tree = {str(j): c["clip"] for j, c in enumerate(all_clips)}
+    meta = [
+        dict(
+            style=c["style"], validation=bool(c["validation"]),
+            len_ratio=c["len_ratio"], name=c["name"], index=int(c["index"]),
+            skeleton=c["skeleton"],
+            has_anim=c["anim"] is not None, has_audio=c["audio"] is not None,
+        )
+        for c in all_clips
+    ]
+    for j, c in enumerate(all_clips):
+        if c["anim"] is not None:
+            tree[str(j)] = dict(tree[str(j)])
+            for k in ("rotations", "positions", "offsets"):
+                tree[str(j)][f"__anim_{k}"] = np.asarray(c["anim"][k])
+            meta[j]["anim_extra"] = dict(
+                order=c["anim"]["order"], names=list(c["anim"]["names"]),
+                parents=[int(p) for p in c["anim"]["parents"]],
+                frametime=float(c["anim"]["frametime"]),
+            )
+        if c["audio"] is not None:
+            tree[str(j)] = dict(tree[str(j)])
+            tree[str(j)]["__audio"] = np.asarray(c["audio"])
+    checkpoint.save(
+        out_path / f"pipeline_shard_{process_index}_of_{process_count}.npz", tree, meta
+    )
+
+
+def merge_shards(conf, process_count):
+    """Merge per-host shard archives into the final global artifacts.
+
+    Clips are re-sorted by their original info.csv row index, so the merged
+    processed_data/stats are bit-identical to a serial (unsharded) run —
+    per-host statistics are never used (the reference computes stats over
+    the whole corpus, data_pipeline.py:562-648).
+    """
+    from ..io import checkpoint
+
+    if not isinstance(conf, PipelineConfig):
+        conf = PipelineConfig.from_dict(dict(conf))
+    out_path = Path(conf.base_path) / conf.processed_data_path
+
+    entries = []
+    for i in range(process_count):
+        path = out_path / f"pipeline_shard_{i}_of_{process_count}.npz"
+        tree, meta = checkpoint.load(path)
+        for j, m in enumerate(meta):
+            clip = dict(tree[str(j)])
+            anim = audio = None
+            if m.get("has_audio"):
+                audio = clip.pop("__audio")
+            if m.get("has_anim"):
+                extra = m["anim_extra"]
+                anim = dict(
+                    rotations=clip.pop("__anim_rotations"),
+                    positions=clip.pop("__anim_positions"),
+                    offsets=clip.pop("__anim_offsets"),
+                    order=extra["order"], names=extra["names"],
+                    parents=extra["parents"], frametime=extra["frametime"],
+                )
+            entries.append(
+                dict(
+                    clip=clip, style=m["style"], validation=m["validation"],
+                    len_ratio=m["len_ratio"], name=m["name"], index=m["index"],
+                    skeleton=m["skeleton"], anim=anim, audio=audio,
+                    _aug=j,  # within-shard order breaks ties between a clip's augmentations
+                )
+            )
+    entries.sort(key=lambda c: (c["index"], c["_aug"]))
+    return _assemble(entries, conf, out_path)
+
+
+def _assemble(all_clips, conf, out_path):
+    """Corpus assembly + statistics + final artifacts (shared by the serial
+    path and the shard merge)."""
     keys = ("audio_features",) + _FEATURE_ORDER
     accum = {k: [] for k in keys}
     ranges_train, ranges_valid = [], []
@@ -352,7 +447,78 @@ def data_pipeline(conf, num_workers=None, process_index=0, process_count=1):
         np.savez(out_path / "stats.npz", **common)
         (out_path / "data_definition.json").write_text(json.dumps(data_definition, indent=4))
 
+    # per-style duration summary: printed and exported as data_info.html
+    # (data_pipeline.py:703-734 prints a rich table + console.save_html)
+    summary = dataset_summary(
+        label_names, ranges_train, common["ranges_train_labels"],
+        ranges_valid, common["ranges_valid_labels"],
+    )
+    print(format_summary_ascii(summary))
+    (out_path / "data_info.html").write_text(format_summary_html(summary, conf.to_dict()))
+
     return processed_data, data_definition
+
+
+# ---------------------------------------------------------------------------
+# dataset summary (data_pipeline.py:703-734)
+# ---------------------------------------------------------------------------
+
+def dataset_summary(label_names, ranges_train, ranges_train_labels,
+                    ranges_valid, ranges_valid_labels):
+    """Per-style train/valid frame counts. Counts are halved like the
+    reference's table (which counts each clip once despite the x2
+    time-stretch augmentation, data_pipeline.py:711-718)."""
+    def frames(ranges, labels, i):
+        r = np.asarray(ranges).reshape(-1, 2)[np.asarray(labels) == i]
+        return float(np.sum(r[:, 1] - r[:, 0])) / 2 if len(r) else 0.0
+
+    per_style = []
+    for i, name in enumerate(label_names):
+        tr = frames(ranges_train, ranges_train_labels, i)
+        va = frames(ranges_valid, ranges_valid_labels, i)
+        per_style.append(dict(style=name, train=tr, valid=va, total=tr + va))
+    total = sum(s["total"] for s in per_style)
+    return dict(per_style=per_style, total_frames=total, total_seconds=total / 60.0)
+
+
+def _fmt(n):
+    return f"{n:.0f} frames - {n / 60:.1f} secs"
+
+
+def format_summary_ascii(summary):
+    from ..utils.logs import ascii_table
+
+    rows = [
+        ["Train"] + [_fmt(s["train"]) for s in summary["per_style"]],
+        ["Validation"] + [_fmt(s["valid"]) for s in summary["per_style"]],
+        ["Total"] + [_fmt(s["total"]) for s in summary["per_style"]],
+    ]
+    headers = ["Dataset"] + [s["style"] for s in summary["per_style"]]
+    table = ascii_table(headers, rows, title="Data Info")
+    return (
+        f"{table}\nTotal length of dataset is "
+        f"{summary['total_frames']:.0f} frames - {summary['total_seconds']:.1f} seconds"
+    )
+
+
+def format_summary_html(summary, conf_dict=None):
+    """Self-contained data_info.html (the reference's console.save_html)."""
+    head = "".join(f"<th>{s['style']}</th>" for s in summary["per_style"])
+    rows = []
+    for label, key in (("Train", "train"), ("Validation", "valid"), ("Total", "total")):
+        cells = "".join(f"<td>{_fmt(s[key])}</td>" for s in summary["per_style"])
+        rows.append(f"<tr><td>{label}</td>{cells}</tr>")
+    conf_html = (
+        f"<pre>{json.dumps(conf_dict, indent=2)}</pre>" if conf_dict is not None else ""
+    )
+    return (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'><title>Data Info</title>"
+        "<style>table{border-collapse:collapse}td,th{border:1px solid #888;"
+        "padding:4px 8px;font-family:monospace;font-size:13px}</style></head><body>"
+        f"<h2>Data Info</h2><table><tr><th>Dataset</th>{head}</tr>{''.join(rows)}</table>"
+        f"<p>Total length of dataset is {summary['total_frames']:.0f} frames - "
+        f"{summary['total_seconds']:.1f} seconds</p>{conf_html}</body></html>"
+    )
 
 
 # ---------------------------------------------------------------------------

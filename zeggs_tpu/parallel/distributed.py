@@ -13,16 +13,26 @@ import jax
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """jax.distributed.initialize with env-var fallbacks; no-op when
-    single-process or already initialized."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    single-process or already initialized.
+
+    Deliberately does NOT query ``jax.process_count()`` first: any backend
+    query initializes XLA, after which ``jax.distributed.initialize``
+    raises ("must be called before any JAX computation"). The
+    already-initialized case (launcher/env auto-init) is detected by the
+    RuntimeError it raises instead.
+    """
     if coordinator_address is None and num_processes is None:
-        return  # single-process
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        return  # single-process / launcher- or env-driven auto-init
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized by the launcher; keep its configuration
+        raise
 
 
 def local_batch_slice(global_batch_size):

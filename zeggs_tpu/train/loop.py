@@ -203,6 +203,14 @@ class Trainer:
             if opt_state is not None:
                 self.opt_state = _restore_opt_state(self.opt_state, opt_state)
             self.iteration = int(meta["step"])
+            # lossless resume: epoch counter + host RNG (data order) + PRNG
+            # key (dropout/VAE noise) continue instead of replaying from
+            # the seed (the reference restores neither, train.py:166-174)
+            self.epoch = int(meta.get("epoch", 0))
+            if "np_rng_state" in meta:
+                self.rng.bit_generator.state = meta["np_rng_state"]
+            if "prng_key" in meta:
+                self.key = jnp.asarray(meta["prng_key"], jnp.uint32)
 
     # ------------------------------------------------------------------
 
@@ -293,7 +301,11 @@ class Trainer:
     def save_checkpoint(self):
         nets = {k: jax.device_get(v) for k, v in self.params.items()}
         opt = jax.device_get(self.opt_state)
-        extra = {"epoch": self.epoch}
+        extra = {
+            "epoch": self.epoch,
+            "np_rng_state": self.rng.bit_generator.state,
+            "prng_key": np.asarray(jax.device_get(self.key)).tolist(),
+        }
         checkpoint.save_train_state(self.models_dir, self.iteration, nets, opt, extra)
         per_iter = self.models_dir / str(self.iteration)
         checkpoint.save_train_state(per_iter, self.iteration, nets, opt, extra)
