@@ -1,0 +1,198 @@
+"""End-to-end serving benchmark: the CSV-batch path at full ZEGGS scale.
+
+Replays a synthetic 20-request evaluation CSV (generate.py:476-505 is the
+reference equivalent) through BOTH serving modes:
+  * sequential: generate_gesture per request (reference behavior), and
+  * batched:    infer/batch.generate_batch — featurization, bucketed
+                batched rollouts, BVH writes on a host thread pool.
+
+Everything is measured end to end: WAV read + mel featurization + style-BVH
+feature extraction + rollout + BVH serialization + wav copy. The model is
+the full v1 architecture (75 joints, decoder GRU 2x1024) with random
+weights — throughput is weight-value independent.
+
+Prints one JSON line:
+  {"serve_clips_per_s", "serve_frames_per_s", "seq_p50_s", "seq_p95_s",
+   "batched_makespan_s", "n_requests", "total_frames"}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import os
+
+import jax
+
+# honor a CPU-only request even when the TPU plugin's sitecustomize
+# force-overrides JAX_PLATFORMS (same contract as __graft_entry__)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu" and jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zeggs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from zeggs_tpu import config as C  # noqa: E402
+from zeggs_tpu.infer.batch import Request, generate_batch  # noqa: E402
+from zeggs_tpu.infer.generate import GesturePipeline, generate_gesture  # noqa: E402
+from zeggs_tpu.io import bvh, checkpoint, wav  # noqa: E402
+from zeggs_tpu.train.loop import init_networks  # noqa: E402
+
+NJOINTS = 75
+POSE_IN = 6 + NJOINTS * 15 + 3
+POSE_OUT = 6 + NJOINTS * 15
+
+
+def _skeleton():
+    """75-joint skeleton with the names the featurizer resolves."""
+    names = ["Hips", "Spine", "Spine1", "Spine2", "Spine3", "Neck", "Head"]
+    parents = [-1, 0, 1, 2, 3, 4, 5]
+    while len(names) < NJOINTS:
+        i = len(names)
+        names.append(f"Joint{i}")
+        parents.append((i - 1) % 7)  # bushy tree off the spine chain
+    return names, parents
+
+
+def _motion(nframes, seed):
+    rng = np.random.default_rng(seed)
+    names, parents = _skeleton()
+    t = np.linspace(0, 2 * np.pi, nframes)[:, None, None]
+    phase = rng.uniform(0, 2 * np.pi, (1, NJOINTS, 3))
+    amp = rng.uniform(3, 20, (1, NJOINTS, 3))
+    rotations = (amp * np.sin(2 * t + phase)).astype(np.float32)
+    offsets = rng.uniform(-8, 8, (NJOINTS, 3)).astype(np.float32)
+    offsets[0] = 0
+    positions = np.repeat(offsets[None], nframes, axis=0).astype(np.float32)
+    positions[:, 0, 1] += 95.0
+    positions[:, 0, 0] += np.linspace(0, 20, nframes)
+    return {
+        "rotations": rotations, "positions": positions, "offsets": offsets,
+        "parents": np.asarray(parents, np.int32), "names": names,
+        "order": "zyx", "frametime": 1.0 / 60.0,
+    }
+
+
+def build_corpus(root: Path, n_requests=20, seed=0):
+    """Synthetic full-scale data dir + networks + request list."""
+    root = Path(root)
+    data_dir, net_dir, clips_dir = root / "processed", root / "models", root / "clips"
+    for d in (data_dir, net_dir, clips_dir):
+        d.mkdir(parents=True, exist_ok=True)
+    names, parents = _skeleton()
+
+    (data_dir / "data_definition.json").write_text(json.dumps({
+        "dt": 1.0 / 60.0, "label_names": ["Neutral"], "parents": parents,
+        "bone_names": names,
+    }))
+    conf = C.PipelineConfig(audio_conf=C.MelConfig(normalize_loudness=False)).to_dict()
+    (data_dir / "data_pipeline_conf.json").write_text(json.dumps(conf))
+    rng = np.random.default_rng(3)
+    np.savez(
+        data_dir / "stats.npz",
+        audio_input_mean=rng.normal(size=81).astype(np.float32) * 0.1,
+        audio_input_std=np.float32(1.0),
+        anim_input_mean=np.zeros(POSE_IN, np.float32),
+        anim_input_std=np.ones(POSE_IN, np.float32),
+        anim_output_mean=np.zeros(POSE_OUT, np.float32),
+        anim_output_std=np.ones(POSE_OUT, np.float32),
+    )
+
+    opts = C.Options()  # full v1 dimensions
+    key = jax.random.PRNGKey(0)
+    dims = dict(num_audio_features=81, pose_input_size=POSE_IN, pose_output_size=POSE_OUT)
+    params = init_networks(key, opts, dims, nlabels=1)
+    checkpoint.save(net_dir / "speech_encoder.npz", params["speech_encoder"])
+    checkpoint.save(net_dir / "decoder.npz", params["decoder"])
+    checkpoint.save(net_dir / "style_encoder.npz", params["style_encoder"])
+
+    # style examples: 4 shared BVH clips of 512 frames
+    style_paths = []
+    for i in range(4):
+        p = clips_dir / f"style_{i}.bvh"
+        bvh.save(p, _motion(512, seed=100 + i))
+        style_paths.append(p)
+
+    rng = np.random.default_rng(seed)
+    requests, total_frames = [], 0
+    for i in range(n_requests):
+        seconds = float(rng.uniform(4.0, 12.0))
+        n = int(seconds * 16000)
+        t = np.arange(n) / 16000
+        audio = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+                 + 0.05 * rng.normal(size=n)).astype(np.float32)
+        ap = clips_dir / f"req_{i}.wav"
+        wav.write_wavefile(ap, np.clip(audio, -0.99, 0.99), 16000)
+        total_frames += int(round(60.0 * seconds))
+        requests.append(Request(
+            audio=ap, styles=[(style_paths[i % 4], (8, 8 + 256))],
+            file_name=f"req_{i}", temperature=1.0, seed=1234 + i,
+        ))
+    return net_dir, data_dir, requests, total_frames, opts
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=20)
+    ap.add_argument("--root", type=str, default="/tmp/zeggs_serve_bench")
+    ap.add_argument("--skip-sequential", action="store_true")
+    args = ap.parse_args(argv)
+
+    root = Path(args.root)
+    net_dir, data_dir, requests, total_frames, opts = build_corpus(root, args.requests)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+
+    # ---- batched serving path (the TPU-native mode) ----------------------
+    out_b = root / "out_batched"
+    t0 = time.perf_counter()
+    written = generate_batch(pipe, requests, out_b, bucket=256, max_batch=32)
+    makespan = time.perf_counter() - t0
+    assert len(written) == len(requests)
+    # warm run (compiles cached): the steady-state serving number
+    t0 = time.perf_counter()
+    generate_batch(pipe, requests, out_b, bucket=256, max_batch=32)
+    makespan_warm = time.perf_counter() - t0
+
+    result = {
+        "n_requests": len(requests),
+        "total_frames": total_frames,
+        "serve_clips_per_s": round(len(requests) / makespan_warm, 3),
+        "serve_frames_per_s": round(total_frames / makespan_warm, 1),
+        "batched_makespan_s": round(makespan_warm, 3),
+        "batched_makespan_cold_s": round(makespan, 3),
+    }
+
+    # ---- sequential replay (reference-style, per-clip latency) -----------
+    if not args.skip_sequential:
+        out_s = root / "out_seq"
+        lat = []
+        for req in requests:
+            t0 = time.perf_counter()
+            generate_gesture(
+                req.audio, req.styles, network_path=net_dir, data_path=data_dir,
+                results_path=out_s, temperature=req.temperature, seed=req.seed,
+                file_name=req.file_name, pipeline=pipe,
+            )
+            lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat[1:])  # drop first (bucket compile)
+        result["seq_p50_s"] = round(float(np.percentile(lat, 50)), 3)
+        result["seq_p95_s"] = round(float(np.percentile(lat, 95)), 3)
+        result["seq_clips_per_s"] = round(len(lat) / float(lat.sum()), 3)
+
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,11 @@ def _round_up(n, m):
 class GesturePipeline:
     """Loads networks + stats once and serves generation requests."""
 
-    def __init__(self, network_path, data_path, options=None, style_encoding_type="example"):
+    def __init__(self, network_path, data_path, options=None, style_encoding_type="example",
+                 fused_b1="auto"):
+        """fused_b1: use the whole-rollout fused Pallas kernel for B=1
+        requests ("auto" = on TPU when the cell qualifies; True/False to
+        force). Batched requests always take the XLA scan path."""
         network_path = Path(network_path)
         data_path = Path(data_path)
         self.style_encoding_type = style_encoding_type
@@ -69,6 +73,19 @@ class GesturePipeline:
             len(self.label_names) if style_encoding_type == "label" else se_cfg.style_encoding_size
         )
         self._rollout_cache = {}
+        self._fused_fn = None
+        dec_cfg = self.opts.net.decoder
+        if fused_b1 == "auto":
+            fused_b1 = jax.default_backend() == "tpu" and decoder.fused_b1_supported(
+                self.networks["decoder"], dec_cfg.rnn_cond, dec_cfg.num_rnn_layers
+            )
+        if fused_b1:
+            self._fused_fn = decoder.make_fused_b1_fn(
+                self.networks["decoder"],
+                self.stats["anim_input_mean"], self.stats["anim_input_std"],
+                self.stats["anim_output_mean"], self.stats["anim_output_std"],
+                self.dt,
+            )
         self._build_jitted()
 
     def _build_jitted(self):
@@ -138,9 +155,13 @@ class GesturePipeline:
     def _rollout_fn(self, n_frames):
         if n_frames not in self._rollout_cache:
             dec_cfg = self.opts.net.decoder
+            fused = self._fused_fn
 
             @jax.jit
             def fn(state0, gaze_pos, speech_enc, style_enc):
+                if fused is not None and speech_enc.shape[0] == 1:
+                    out = fused(state0, gaze_pos, speech_enc, style_enc)
+                    return tuple(out[i] for i in (0, 1, 4, 5))
                 return decoder.rollout(
                     self.networks["decoder"],
                     *state0,

@@ -247,6 +247,54 @@ def rollout(
     return tuple(stack(firsts[i], y) for i, y in zip(output_indices, ys))
 
 
+def fused_b1_supported(params, rnn_cond="normal", num_rnn_layers=2):
+    """Whether the whole-rollout fused Pallas kernel can serve this model
+    (normal 2-layer cell, MXU-aligned hidden size)."""
+    H = params["cell"]["gru1"]["w_hh"].shape[0]
+    return rnn_cond == "normal" and num_rnn_layers == 2 and H % 128 == 0
+
+
+def make_fused_b1_fn(
+    params,
+    anim_input_mean,
+    anim_input_std,
+    anim_output_mean,
+    anim_output_std,
+    dt,
+    weights_dtype=jnp.bfloat16,
+    interpret=None,
+):
+    """Build the fused B=1 serving rollout (ops/pallas/decoder_kernel.py).
+
+    Packs the cell weights once (host-side) into the streaming layout and
+    returns `fn(state0, gaze_pos, speech_enc, style_enc)` with the same
+    return convention as `rollout` (8 stacked trajectories). Inference
+    only — the kernel has no VJP.
+    """
+    from ..ops.pallas import decoder_kernel as DK
+
+    pose_in = int(jnp.shape(anim_input_mean)[-1])
+    packed = DK.pack_decoder_weights(params["cell"], pose_in, weights_dtype)
+    pose_out = packed["dims"][1]
+    stats_packed = DK.pack_stats(
+        anim_input_mean, anim_input_std, anim_output_mean, anim_output_std,
+        pose_in, pose_out,
+    )
+    cse = params["cell_state_encoder"]
+    mean_in = jnp.asarray(anim_input_mean)
+    std_in = jnp.asarray(anim_input_std)
+
+    def fn(state0, gaze_pos, speech_enc, style_enc):
+        pose0 = P.vectorize_input(*state0, gaze_pos[:, 0], mean_in, std_in)
+        h = cell_state_encoder(cse, pose0, style_enc[:, 0])
+        return DK.rollout_fused_b1(
+            packed, stats_packed, h[:, 0], *state0, gaze_pos, speech_enc,
+            style_enc, dt, interpret=interpret,
+        )
+
+    return fn
+
+
 def _rollout_film(
     params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
     gaze_pos, speech_encoding, style_encoding, anim_input_mean, anim_input_std,

@@ -1,0 +1,541 @@
+"""Whole-rollout fused decoder kernel for B=1 serving latency.
+
+At batch 1 the autoregressive rollout (ZEGGS/modules.py:47-162 semantics,
+re-designed in models/decoder.py as a lax.scan) is weight-streaming bound:
+every frame must read the full decoder cell (~19M params, ~38 MB bf16)
+from HBM, so the speed of light on a v5e chip is
+
+    T_steps * weight_bytes / HBM_BW  ~=  600 * 37.7MB / 819GB/s  ~=  28 ms
+
+for a 10 s clip. The XLA scan path reaches ~63 ms because each step
+dispatches ~7 separate matmul kernels plus elementwise glue. This kernel
+runs the ENTIRE rollout as one `pallas_call`:
+
+  * grid = (T-1,) — TPU grid steps execute sequentially, so the carry
+    (previous pose slots, GRU hidden states, root transform) lives in
+    VMEM/SMEM scratch across steps;
+  * the cell weights are packed host-side into two bf16 matrices
+    (x-phases and hidden-phases), kept in HBM (`memory_space=ANY`), and
+    manually streamed through a double-buffered VMEM scratch in
+    <=512-column chunks with `make_async_copy` — DMA of chunk i+2 is
+    issued as soon as chunk i's buffer frees, so the MXU consumes one
+    chunk while the next is in flight;
+  * layer0 + GRU0 + GRU1 + output projection + pose devectorize + root
+    quaternion integration (modules.py:716-742) all happen in-kernel —
+    zero HBM round-trips for activations, zero per-step kernel launches;
+  * the speech/style conditioning projections are hoisted outside (one
+    big MXU matmul over all frames), exactly like the XLA path.
+
+Inference only (no VJP). Requires hidden size H % 128 == 0 and the
+'normal' cell. Parity vs the XLA path is asserted in
+tests/test_pallas_kernels.py and production wiring lives in
+models/decoder.py::rollout(fused=...).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+CHUNK = 512  # max weight-chunk width (columns)
+
+# interpret mode (CPU tests) rejects the HBM memory space; ANY emulates it
+_HBM = pltpu.MemorySpace.HBM if jax.default_backend() == "tpu" else pl.ANY
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _col_chunks(width):
+    """Split a phase's column span into <=CHUNK 128-multiple chunks."""
+    out = []
+    o = 0
+    while o < width:
+        w = min(CHUNK, width - o)
+        out.append((o, w))
+        o += w
+    return out
+
+
+# ---------------------------------------------------------------------------
+# weight packing (host side, once per model)
+# ---------------------------------------------------------------------------
+
+def pack_decoder_weights(cell, pose_in, dtype=jnp.bfloat16):
+    """Pack the 'normal' recurrent cell (models/decoder.py init layout)
+    into the two streaming matrices + resident bias/conditioning tensors.
+
+    Returns a dict of jnp arrays; pass to `rollout_fused_b1`. Host-side
+    (numpy): call once per loaded model, outside jit.
+    """
+    cell = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), cell)
+    H = cell["gru1"]["w_hh"].shape[0]
+    G = 3 * H
+    pose_out = cell["out"]["w"].shape[1]
+    PP = _round_up(pose_in, LANE)
+    PO = _round_up(pose_out, LANE)
+
+    w0 = np.asarray(cell["layer0"]["w"], np.float32)           # (pose+S+C, H)
+    wg = np.asarray(cell["gru0"]["w_ih"], np.float32)          # (H+pose+S+C, G)
+
+    # x-activation phases: [layer0 pose cols | gru0 pose cols]
+    wx = np.zeros((PP, H + G), np.float32)
+    wx[:pose_in, :H] = w0[:pose_in]
+    wx[:pose_in, H:] = wg[H : H + pose_in]
+
+    # hidden-activation phases: [gru0 hid | gru0 w_hh | gru1 w_ih | gru1 w_hh | out]
+    wh = np.zeros((H, 4 * G + PO), np.float32)
+    wh[:, :G] = wg[:H]
+    wh[:, G : 2 * G] = np.asarray(cell["gru0"]["w_hh"], np.float32)
+    wh[:, 2 * G : 3 * G] = np.asarray(cell["gru1"]["w_ih"], np.float32)
+    wh[:, 3 * G : 4 * G] = np.asarray(cell["gru1"]["w_hh"], np.float32)
+    wh[:, 4 * G : 4 * G + pose_out] = np.asarray(cell["out"]["w"], np.float32)
+
+    gbias = np.stack([
+        np.asarray(cell["gru0"]["b_hh"], np.float32),
+        np.asarray(cell["gru1"]["b_ih"], np.float32),
+        np.asarray(cell["gru1"]["b_hh"], np.float32),
+    ])
+    bout = np.zeros((1, PO), np.float32)
+    bout[0, :pose_out] = np.asarray(cell["out"]["b"], np.float32)
+
+    # hoisted conditioning projections (speech|style columns + input biases)
+    w_cond_l0 = np.asarray(w0[pose_in:], np.float32)                 # (S+C, H)
+    w_cond_g0 = np.asarray(wg[H + pose_in :], np.float32)            # (S+C, G)
+
+    return dict(
+        wx=jnp.asarray(wx, dtype),
+        wh=jnp.asarray(wh, dtype),
+        gbias=jnp.asarray(gbias),
+        bout=jnp.asarray(bout),
+        w_cond_l0=jnp.asarray(w_cond_l0, dtype),
+        b_l0=jnp.asarray(np.asarray(cell["layer0"]["b"], np.float32)),
+        w_cond_g0=jnp.asarray(w_cond_g0, dtype),
+        b_g0=jnp.asarray(np.asarray(cell["gru0"]["b_ih"], np.float32)),
+        dims=(pose_in, pose_out, H),
+    )
+
+
+def pack_stats(anim_input_mean, anim_input_std, anim_output_mean, anim_output_std,
+               pose_in, pose_out):
+    """(4, PP) resident stats rows: in_mean, in_rstd, out_std, out_mean.
+    Padding lanes carry 0 so padded activations stay exactly zero."""
+    PP = _round_up(pose_in, LANE)
+    PO = _round_up(pose_out, LANE)
+    width = max(PP, PO)
+    s = np.zeros((4, width), np.float32)
+    s[0, :pose_in] = np.asarray(anim_input_mean, np.float32)
+    s[1, :pose_in] = 1.0 / np.asarray(anim_input_std, np.float32)
+    s[2, :pose_out] = np.asarray(anim_output_std, np.float32)
+    s[3, :pose_out] = np.asarray(anim_output_mean, np.float32)
+    return jnp.asarray(s)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel scalar quaternion helpers (modules.py:716-742 semantics)
+# ---------------------------------------------------------------------------
+
+def _s_cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _s_mul_vec(q, v):
+    """Rotate scalar 3-vector v by scalar quat q = (w, x, y, z)."""
+    qv = (q[1], q[2], q[3])
+    t = _s_cross(qv, v)
+    t = (2.0 * t[0], 2.0 * t[1], 2.0 * t[2])
+    c = _s_cross(qv, t)
+    return (v[0] + q[0] * t[0] + c[0], v[1] + q[0] * t[1] + c[1], v[2] + q[0] * t[2] + c[2])
+
+
+def _s_quat_mul(x, y):
+    """Hamilton product (ops/quat.py:31-43)."""
+    x0, x1, x2, x3 = x
+    y0, y1, y2, y3 = y
+    return (
+        y0 * x0 - y1 * x1 - y2 * x2 - y3 * x3,
+        y0 * x1 + y1 * x0 - y2 * x3 + y3 * x2,
+        y0 * x2 + y1 * x3 + y2 * x0 - y3 * x1,
+        y0 * x3 - y1 * x2 + y2 * x1 + y3 * x0,
+    )
+
+
+def _s_from_helical(v, eps=1e-5):
+    """quat.exp(v/2) with the TorchScript small-angle branch
+    (ops/quat.py:98-112, anim/tquat.py:93-98)."""
+    hx, hy, hz = v[0] * 0.5, v[1] * 0.5, v[2] * 0.5
+    sq = hx * hx + hy * hy + hz * hz
+    halfangle = jnp.sqrt(sq)
+    small = halfangle < eps
+    # big branch: [cos|h|, h * sinc(|h|/pi)]
+    sinc = jnp.where(small, jnp.ones_like(halfangle), jnp.sin(halfangle) / jnp.where(small, jnp.ones_like(halfangle), halfangle))
+    big = (jnp.cos(halfangle), hx * sinc, hy * sinc, hz * sinc)
+    # tiny branch: normalize([1, h])
+    tn = 1.0 / jnp.sqrt(1.0 + sq)
+    tiny = (tn, hx * tn, hy * tn, hz * tn)
+    return tuple(jnp.where(small, a, b) for a, b in zip(tiny, big))
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _build_kernel(pose_in, pose_out, H, dt):
+    G = 3 * H
+    PP = _round_up(pose_in, LANE)
+    PO = _round_up(pose_out, LANE)
+    SW = max(PP, PO)  # stats row width
+
+    # chunk schedule: (array_id, col0, width, phase, phase_col0)
+    # phases: 0 layer0(x) 1 gru0_x(x) 2 gru0_h(hid) 3 gru0_hh(h0)
+    #         4 gru1_ih(h0') 5 gru1_hh(h1) 6 out(h1')
+    schedule = []
+    for ph, (aid, base, width) in enumerate([
+        (0, 0, H), (0, H, G),                    # wx phases
+        (1, 0, G), (1, G, G), (1, 2 * G, G), (1, 3 * G, G), (1, 4 * G, PO),
+    ]):
+        for (o, w) in _col_chunks(width):
+            schedule.append((aid, base + o, w, ph, o))
+    n_chunks = len(schedule)
+    rows = (PP, H)  # rows used per array
+    # pipeline depth: must divide n_chunks so slot assignment (c % NSLOTS)
+    # stays consistent when prefetch wraps into the next grid step
+    nslots = next((k for k in (5, 7, 4, 3, 6, 8, 2) if n_chunks % k == 0), 1)
+    if nslots == 1:
+        nslots = 2  # fall back: per-step prime, no cross-step wrap
+    wrap_ok = n_chunks % nslots == 0
+
+    def kernel(cond_l0_ref, cond_g0_ref, gaze_ref, wx_ref, wh_ref, gbias_ref,
+               bout_ref, stats_ref, p0_ref, h0_ref, root0_ref,
+               out_ref,
+               pprev, h0s, h1s, root, wbuf, cl0_s, cg0_s, gz_s, orow,
+               sems, row_sems):
+        t = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        @pl.when(t == 0)
+        def _init():
+            pprev[:] = p0_ref[:]
+            h0s[:] = h0_ref[0:1, :]
+            h1s[:] = h0_ref[1:2, :]
+            for k in range(7):
+                root[k] = root0_ref[0, k]
+
+        def _dma(i):
+            aid, c0, w, _, _ = schedule[i]
+            src = wx_ref if aid == 0 else wh_ref
+            r = rows[aid]
+            return pltpu.make_async_copy(
+                src.at[:, pl.ds(c0, w)], wbuf.at[i % nslots, :r, :w],
+                sems.at[i % nslots],
+            )
+
+        def start(i):
+            _dma(i).start()
+
+        def wait(i):
+            _dma(i).wait()
+
+        def prefetch(c):
+            """Issue the DMA that reuses chunk c's slot: chunk c+nslots of
+            the periodic schedule — wrapping into the NEXT step's stream
+            when the depth crosses the step boundary (the weights are the
+            same every step, so only the slot assignment must line up)."""
+            nxt = c + nslots
+            if nxt < n_chunks:
+                start(nxt)
+            elif wrap_ok:
+                @pl.when(t + 1 < nsteps)
+                def _():
+                    start(nxt - n_chunks)
+
+        if wrap_ok:
+            # slots primed by the previous step (or here at t == 0)
+            @pl.when(t == 0)
+            def _prime():
+                for k in range(nslots):
+                    start(k)
+        else:
+            for k in range(min(nslots, n_chunks)):
+                start(k)
+
+        # per-step conditioning rows: tiny HBM->VMEM DMAs. The arrays are
+        # shaped (T, 8, N) with the step's row replicated across the 8
+        # sublanes so each DMA slice is a full (8, N) tile — Mosaic rejects
+        # 1-row slices of (8,128)-tiled memrefs.
+        row_cl0 = pltpu.make_async_copy(
+            cond_l0_ref.at[pl.ds(t, 1)], cl0_s, row_sems.at[0]
+        )
+        row_cg0 = pltpu.make_async_copy(
+            cond_g0_ref.at[pl.ds(t, 1)], cg0_s, row_sems.at[1]
+        )
+        row_gz = pltpu.make_async_copy(
+            gaze_ref.at[pl.ds(t, 1)], gz_s, row_sems.at[2]
+        )
+        row_cl0.start()
+        row_cg0.start()
+        row_gz.start()
+
+        # ---- vectorize_input (modules.py:677-713) while DMAs fly --------
+        rp = (root[0], root[1], root[2])
+        rq = (root[3], root[4], root[5], root[6])
+        row_gz.wait()
+        gz = (gz_s[0, 0, 0] - rp[0], gz_s[0, 0, 1] - rp[1], gz_s[0, 0, 2] - rp[2])
+        rq_inv = (rq[0], -rq[1], -rq[2], -rq[3])
+        gd = _s_mul_vec(rq_inv, gz)
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+        xt = pprev[:]
+        for k in range(3):
+            xt = jnp.where(lanes == pose_out + k, gd[k], xt)
+        xv = (xt - stats_ref[0:1, :]) * stats_ref[1:2, :]
+        x_bf = xv[:, :PP].astype(wbuf.dtype)
+
+        # ---- streamed matmul phases -------------------------------------
+        acts = {}  # phase -> (1, rows) bf16 activation
+
+        def run_phase(ph, first_chunk_idx, width):
+            parts = []
+            i = first_chunk_idx
+            while i < n_chunks and schedule[i][3] == ph:
+                wait(i)
+                aid, _, w, _, _ = schedule[i]
+                r = rows[aid]
+                parts.append(
+                    jnp.dot(acts[ph], wbuf[i % nslots, :r, :w],
+                            preferred_element_type=jnp.float32)
+                )
+                prefetch(i)
+                i += 1
+            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0], i
+
+        idx = 0
+        acts[0] = x_bf
+        acts[1] = x_bf
+        a_l0, idx = run_phase(0, idx, H)
+        row_cl0.wait()
+        pre = cl0_s[0, 0:1, :] + a_l0
+        # elu without expm1 (unimplemented in Mosaic); |err| < 1e-8 near 0
+        hidden = jnp.where(pre > 0.0, pre, jnp.exp(pre) - 1.0)
+        acts[2] = hidden.astype(wbuf.dtype)
+        gi_x, idx = run_phase(1, idx, G)
+        gi_h, idx = run_phase(2, idx, G)
+        acts[3] = h0s[:].astype(wbuf.dtype)
+        gh, idx = run_phase(3, idx, G)
+        row_cg0.wait()
+        gi = cg0_s[0, 0:1, :] + gi_x + gi_h
+        gh = gh + gbias_ref[0:1, :]
+        r0 = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z0 = jax.nn.sigmoid(gi[:, H : 2 * H] + gh[:, H : 2 * H])
+        n0 = jnp.tanh(gi[:, 2 * H :] + r0 * gh[:, 2 * H :])
+        h0_new = (1.0 - z0) * n0 + z0 * h0s[:]
+
+        acts[4] = h0_new.astype(wbuf.dtype)
+        gi1, idx = run_phase(4, idx, G)
+        acts[5] = h1s[:].astype(wbuf.dtype)
+        gh1, idx = run_phase(5, idx, G)
+        gi1 = gi1 + gbias_ref[1:2, :]
+        gh1 = gh1 + gbias_ref[2:3, :]
+        r1 = jax.nn.sigmoid(gi1[:, :H] + gh1[:, :H])
+        z1 = jax.nn.sigmoid(gi1[:, H : 2 * H] + gh1[:, H : 2 * H])
+        n1 = jnp.tanh(gi1[:, 2 * H :] + r1 * gh1[:, 2 * H :])
+        h1_new = (1.0 - z1) * n1 + z1 * h1s[:]
+
+        acts[6] = h1_new.astype(wbuf.dtype)
+        o_norm, idx = run_phase(6, idx, PO)
+
+        # ---- devectorize + root integration (modules.py:716-742) --------
+        o_norm = o_norm + bout_ref[:]
+        if PO < SW:
+            o_norm = jnp.concatenate(
+                [o_norm, jnp.zeros((1, SW - PO), jnp.float32)], axis=-1
+            )
+        p_new = o_norm * stats_ref[2:3, :] + stats_ref[3:4, :]
+
+        rv = (p_new[0, 0], p_new[0, 1], p_new[0, 2])
+        rw = (p_new[0, 3], p_new[0, 4], p_new[0, 5])
+        wv = _s_mul_vec(rq, (rv[0] * dt, rv[1] * dt, rv[2] * dt))
+        new_rp = (rp[0] + wv[0], rp[1] + wv[1], rp[2] + wv[2])
+        ww = _s_mul_vec(rq, (rw[0] * dt, rw[1] * dt, rw[2] * dt))
+        dq = _s_from_helical(ww)
+        new_rq = _s_quat_mul(dq, rq)
+
+        # ---- emit + carry update -----------------------------------------
+        out_row = p_new
+        vals = new_rp + new_rq
+        for k in range(7):
+            out_row = jnp.where(lanes == pose_out + k, vals[k], out_row)
+        orow[0] = jnp.broadcast_to(out_row, (8, SW))
+        row_out = pltpu.make_async_copy(orow, out_ref.at[pl.ds(t, 1)], row_sems.at[3])
+        row_out.start()
+
+        pprev[:] = p_new
+        h0s[:] = h0_new
+        h1s[:] = h1_new
+        for k in range(7):
+            root[k] = vals[k]
+        # orow is rewritten next step — the store must land first
+        row_out.wait()
+
+    return kernel, PP, PO, SW, nslots
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pose_in", "pose_out", "H", "dt", "interpret"),
+)
+def _fused_call(cond_l0, cond_g0, gaze, packed_wx, packed_wh, gbias, bout,
+                stats, p0, h_init, root0, *, pose_in, pose_out, H, dt, interpret):
+    kernel, PP, PO, SW, n_slots = _build_kernel(pose_in, pose_out, H, dt)
+    Tm1 = cond_l0.shape[0]
+    G = 3 * H
+
+    grid = (Tm1,)
+    row = lambda i: (i, 0)
+    const = lambda i: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # explicit HBM (not ANY): the compiler would otherwise place the
+            # small cond arrays in VMEM, where (1, N) row DMA slices violate
+            # the (8, 128) tiling; HBM is untiled so row slices are legal
+            pl.BlockSpec(memory_space=_HBM),                         # cond_l0 (row-DMA'd)
+            pl.BlockSpec(memory_space=_HBM),                         # cond_g0 (row-DMA'd)
+            pl.BlockSpec(memory_space=_HBM),                         # gaze (row-DMA'd)
+            pl.BlockSpec(memory_space=_HBM),                         # wx (streamed)
+            pl.BlockSpec(memory_space=_HBM),                         # wh (streamed)
+            pl.BlockSpec((3, G), const, memory_space=pltpu.VMEM),    # gbias
+            pl.BlockSpec((1, _round_up(pose_out, LANE)), const, memory_space=pltpu.VMEM),  # bout
+            pl.BlockSpec((4, SW), const, memory_space=pltpu.VMEM),   # stats
+            pl.BlockSpec((1, SW), const, memory_space=pltpu.VMEM),   # p0
+            pl.BlockSpec((2, H), const, memory_space=pltpu.VMEM),    # h init
+            pl.BlockSpec((1, LANE), const, memory_space=pltpu.VMEM), # root0
+        ],
+        out_specs=pl.BlockSpec(memory_space=_HBM),
+        out_shape=jax.ShapeDtypeStruct((Tm1, 8, SW), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, SW), jnp.float32),      # pprev
+            pltpu.VMEM((1, H), jnp.float32),       # h0
+            pltpu.VMEM((1, H), jnp.float32),       # h1
+            pltpu.SMEM((8,), jnp.float32),         # root
+            pltpu.VMEM((n_slots, max(PP, H), CHUNK), packed_wx.dtype),  # wbuf
+            pltpu.VMEM((1, 8, H), jnp.float32),    # cond_l0 row tile
+            pltpu.VMEM((1, 8, G), jnp.float32),    # cond_g0 row tile
+            pltpu.VMEM((1, 8, LANE), jnp.float32), # gaze row tile
+            pltpu.VMEM((1, 8, SW), jnp.float32),   # out row staging
+            pltpu.SemaphoreType.DMA((n_slots,)),   # weight-chunk slots
+            pltpu.SemaphoreType.DMA((4,)),         # cond rows + out store
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(cond_l0, cond_g0, gaze, packed_wx, packed_wh, gbias, bout, stats, p0,
+      h_init, root0)
+    return out
+
+
+def rollout_fused_b1(
+    packed,
+    stats_packed,
+    h_init,
+    root_pos,
+    root_rot,
+    root_vel,
+    root_vrt,
+    lpos,
+    ltxy,
+    lvel,
+    lvrt,
+    gaze_pos,
+    speech_encoding,
+    style_encoding,
+    dt,
+    interpret=None,
+):
+    """Fused B=1 rollout. Args mirror decoder.rollout's frame-0 state +
+    conditioning; `packed` from `pack_decoder_weights`, `stats_packed`
+    from `pack_stats`, `h_init` the (2, H) initial GRU state (from
+    decoder.cell_state_encoder). Returns the 8 stacked (1, T, ...) pose
+    trajectories with frame 0 == inputs, same as decoder.rollout."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    pose_in, pose_out, H = packed["dims"]
+    B, T = speech_encoding.shape[:2]
+    assert B == 1, "fused rollout is the B=1 serving path"
+    njoints = lpos.shape[1]
+    SW = max(_round_up(pose_in, LANE), _round_up(pose_out, LANE))
+
+    # hoisted conditioning projections over frames 1..T-1 (one MXU matmul)
+    cond = jnp.concatenate(
+        [speech_encoding[0, 1:], style_encoding[0, 1:]], axis=-1
+    ).astype(packed["w_cond_l0"].dtype)
+    cond_l0 = (cond @ packed["w_cond_l0"]).astype(jnp.float32) + packed["b_l0"]
+    cond_g0 = (cond @ packed["w_cond_g0"]).astype(jnp.float32) + packed["b_g0"]
+
+    # (T-1, 8, N): the step row replicated across 8 sublanes so per-step
+    # DMA slices are full (8, N) tiles (see kernel comment)
+    G = 3 * H
+    cond_l0 = jnp.broadcast_to(cond_l0[:, None, :], (T - 1, 8, H))
+    cond_g0 = jnp.broadcast_to(cond_g0[:, None, :], (T - 1, 8, G))
+    gaze = jnp.zeros((T - 1, LANE), jnp.float32).at[:, :3].set(gaze_pos[0, 1:])
+    gaze = jnp.broadcast_to(gaze[:, None, :], (T - 1, 8, LANE))
+
+    # frame-0 denormalized pose slots [root_vel|root_vrt|lpos|ltxy|lvel|lvrt]
+    p0 = jnp.concatenate(
+        [
+            root_vel.reshape(1, -1), root_vrt.reshape(1, -1),
+            lpos.reshape(1, -1), ltxy.reshape(1, -1),
+            lvel.reshape(1, -1), lvrt.reshape(1, -1),
+        ],
+        axis=-1,
+    )
+    p0 = jnp.zeros((1, SW), jnp.float32).at[:, :pose_out].set(p0)
+    root0 = jnp.zeros((1, LANE), jnp.float32)
+    root0 = root0.at[0, :3].set(root_pos[0]).at[0, 3:7].set(root_rot[0])
+
+    rows = _fused_call(
+        cond_l0, cond_g0, gaze, packed["wx"], packed["wh"], packed["gbias"],
+        packed["bout"], stats_packed, p0, h_init, root0,
+        pose_in=pose_in, pose_out=pose_out, H=H, dt=float(dt),
+        interpret=bool(interpret),
+    )[:, 0, :]  # (T-1, 8, SW) -> (T-1, SW)
+
+    J3 = njoints * 3
+    o = 6
+    seq = {
+        "root_vel": rows[:, 0:3],
+        "root_vrt": rows[:, 3:6],
+        "lpos": rows[:, o : o + J3].reshape(-1, njoints, 3),
+        "ltxy": rows[:, o + J3 : o + 3 * J3].reshape(-1, njoints, 2, 3),
+        "lvel": rows[:, o + 3 * J3 : o + 4 * J3].reshape(-1, njoints, 3),
+        "lvrt": rows[:, o + 4 * J3 : o + 5 * J3].reshape(-1, njoints, 3),
+        "root_pos": rows[:, pose_out : pose_out + 3],
+        "root_rot": rows[:, pose_out + 3 : pose_out + 7],
+    }
+
+    def stack(first, rest):
+        return jnp.concatenate([first[:, None], rest[None]], axis=1)
+
+    return (
+        stack(root_pos, seq["root_pos"]),
+        stack(root_rot, seq["root_rot"]),
+        stack(root_vel, seq["root_vel"]),
+        stack(root_vrt, seq["root_vrt"]),
+        stack(lpos, seq["lpos"]),
+        stack(ltxy, seq["ltxy"]),
+        stack(lvel, seq["lvel"]),
+        stack(lvrt, seq["lvrt"]),
+    )

@@ -10,7 +10,10 @@ Grid: tiles of the hidden dimension. Program j computes output columns
 [j*TILE_H, (j+1)*TILE_H) by loading the three matching column stripes of
 W_ih / W_hh (gate order r, z, n along the packed 3H axis, torch layout).
 
-Used on the inference path; training keeps the XLA GRU (autodiff'd).
+Standalone-validated building block (tests/test_pallas_kernels.py); the
+production rollout uses the XLA GRU, which fuses the adjacent elementwise
+ops already — see docs/DESIGN.md for the measured comparison. Training
+keeps the XLA GRU (autodiff'd).
 """
 
 from __future__ import annotations
