@@ -229,9 +229,14 @@ class GesturePipeline:
 
     # -- rollout ----------------------------------------------------------
 
-    def rollout(self, first_pose_feats, gaze_pos, speech_enc, style_enc):
+    def rollout(self, first_pose_feats, gaze_pos, speech_enc, style_enc, bucket=64):
         """Single-clip rollout; inputs (1, T, ...). Returns stacked pose
-        trajectories (1, T, ...)."""
+        trajectories (1, T, ...).
+
+        T is padded up to a multiple of ``bucket`` (edge-repeated
+        conditioning) and the result sliced back: the decoder is causal, so
+        frames < T are unaffected, and the jit cache stays bounded instead
+        of compiling one program per distinct clip length."""
         f = first_pose_feats
         state0 = (
             jnp.asarray(f.root_pos[0])[None],
@@ -244,7 +249,20 @@ class GesturePipeline:
             jnp.asarray(f.lvrt[0])[None],
         )
         n = speech_enc.shape[1]
-        return self._rollout_fn(n)(state0, gaze_pos, speech_enc, style_enc)
+        T_pad = max(bucket, _round_up(n, bucket))
+        if T_pad != n:
+            def pad_time(x):
+                return jnp.concatenate(
+                    [x, jnp.repeat(x[:, -1:], T_pad - n, axis=1)], axis=1
+                )
+
+            gaze_pos = pad_time(gaze_pos)
+            speech_enc = pad_time(speech_enc)
+            style_enc = pad_time(style_enc)
+        out = self._rollout_fn(T_pad)(state0, gaze_pos, speech_enc, style_enc)
+        if T_pad != n:
+            out = tuple(o[:, :n] for o in out)
+        return out
 
     def write_result(self, results_path, file_name, rollout_out, audio_file=None):
         results_path = Path(results_path)
