@@ -14,7 +14,9 @@ extrapolation v[0] = v[1] - (v[3] - v[2]).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,13 +79,23 @@ def extract_anim_features(
     """Full animation featurizer (data_pipeline.py:90-228).
 
     Args are the BVH dict fields: rotations in degrees (T, J, 3), positions
-    (T, J, 3). Returns an AnimFeatures bundle.
+    (T, J, 3). Returns an AnimFeatures bundle. The numeric core is jitted
+    (static skeleton/dt): eager op-by-op dispatch of the 75-joint FK costs
+    >1 s per clip on the serving path; compiled it is ~ms.
     """
-    rotations_deg = jnp.asarray(rotations_deg, jnp.float32)
-    positions = jnp.asarray(positions, jnp.float32)
-    i_spine2 = names.index("Spine2")
-    i_hips = names.index("Hips")
-    i_head = names.index("Head")
+    idx = (names.index("Spine2"), names.index("Hips"), names.index("Head"))
+    out = _features_core(
+        jnp.asarray(rotations_deg, jnp.float32),
+        jnp.asarray(positions, jnp.float32),
+        parents=tuple(int(p) for p in np.asarray(parents)),
+        order=order, idx=idx, dt=float(dt), gaze_distance=float(gaze_distance),
+    )
+    return AnimFeatures(*out)
+
+
+@partial(jax.jit, static_argnames=("parents", "order", "idx", "dt", "gaze_distance"))
+def _features_core(rotations_deg, positions, *, parents, order, idx, dt, gaze_distance):
+    i_spine2, i_hips, i_head = idx
 
     lrot = quat.unroll(quat.from_euler(jnp.radians(rotations_deg), order))
     lpos = positions
@@ -132,24 +144,9 @@ def extract_anim_features(
         [quat.mul_vec(crot, _UNIT_X), quat.mul_vec(crot, _UNIT_Y)], axis=-2
     )
 
-    return AnimFeatures(
-        root_pos=root_pos,
-        root_rot=root_rot,
-        root_vel=root_vel,
-        root_vrt=root_vrt,
-        lpos=lpos,
-        lrot=lrot,
-        ltxy=ltxy,
-        lvel=lvel,
-        lvrt=lvrt,
-        cpos=cpos,
-        crot=crot,
-        ctxy=ctxy,
-        cvel=cvel,
-        cvrt=cvrt,
-        gaze_pos=gaze_pos,
-        gaze_dir=gaze_dir,
-    )
+    # field order of AnimFeatures
+    return (root_pos, root_rot, root_vel, root_vrt, lpos, lrot, ltxy, lvel,
+            lvrt, cpos, crot, ctxy, cvel, cvrt, gaze_pos, gaze_dir)
 
 
 def preprocess_animation(anim_data, gaze_distance=100.0):

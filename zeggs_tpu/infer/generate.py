@@ -33,6 +33,13 @@ from ..ops import mel, quat, xform
 from ..utils import host_cpu, split_by_ratio, write_bvh
 
 
+@jax.jit
+def _ltxy_to_quat(ltxy):
+    """rot6d -> quaternion for BVH export (jitted: the eager 75-joint
+    orthogonalize/from_xform chain costs ~0.4 s per clip on host CPU)."""
+    return quat.from_xform(xform.orthogonalize_from_xy(ltxy))
+
+
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
@@ -269,7 +276,7 @@ class GesturePipeline:
         results_path.mkdir(exist_ok=True, parents=True)
         o_root_pos, o_root_rot, o_lpos, o_ltxy = rollout_out[:4]
         with host_cpu():
-            lrot = quat.from_xform(xform.orthogonalize_from_xy(jnp.asarray(np.asarray(o_ltxy))))
+            lrot = _ltxy_to_quat(jnp.asarray(np.asarray(o_ltxy)))
         out_file = results_path / (file_name + ".bvh")
         write_bvh(
             str(out_file),

@@ -12,6 +12,21 @@ def _np(fn, *args, **kw):
     return np.asarray(fn(*args, **kw))
 
 
+_TO_EULER_JIT: dict = {}
+
+
+def _to_euler_deg(q, order):
+    """Jitted quat->Euler-degrees (eager dispatch costs ~165 ms for a
+    600x75 clip; compiled it is ~ms). One jitted fn cached per order."""
+    import jax
+
+    if order not in _TO_EULER_JIT:
+        _TO_EULER_JIT[order] = jax.jit(
+            lambda x, _o=order: jax.numpy.degrees(quat.to_euler(x, order=_o))
+        )
+    return np.asarray(_TO_EULER_JIT[order](q))
+
+
 def write_bvh(
     filename,
     root_pos,
@@ -67,7 +82,7 @@ def _write_bvh_host(
             frametime=dt,
             parents=np.asarray(parents),
             positions=lpos,
-            rotations=np.degrees(_np(quat.to_euler, lrot, order=order)),
+            rotations=_to_euler_deg(lrot, order),
         ),
     )
 
