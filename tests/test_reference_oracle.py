@@ -154,6 +154,114 @@ def test_generate_gesture_matches_reference_end_to_end(ref, corpus, torch_nets, 
     assert rot_mae < 1e-3, f"rotation (quat) MAE {rot_mae}"
 
 
+def _compare_bvh(ref_path: Path, jax_path: Path, tag: str):
+    from zeggs_tpu.ops import quat as Q
+
+    a = bvh.load(ref_path)
+    b = bvh.load(jax_path)
+    assert a["rotations"].shape == b["rotations"].shape, tag
+    pos_mae = float(np.mean(np.abs(a["positions"] - b["positions"])))
+    qa = np.asarray(Q.from_euler(np.radians(a["rotations"]), a["order"]))
+    qb = np.asarray(Q.from_euler(np.radians(b["rotations"]), b["order"]))
+    rot_mae = float(np.mean(np.minimum(np.abs(qa - qb), np.abs(qa + qb))))
+    assert np.isfinite(a["positions"]).all() and np.isfinite(b["positions"]).all(), tag
+    print(f"\n{tag}: pos MAE {pos_mae:.2e}, quat MAE {rot_mae:.2e} "
+          f"over {a['rotations'].shape[0]} frames")
+    assert pos_mae < 1e-3, f"{tag} position MAE {pos_mae}"
+    assert rot_mae < 1e-3, f"{tag} rotation (quat) MAE {rot_mae}"
+
+
+@pytest.mark.parametrize("blend_type,blend_ratio", [
+    ("add", (0.3, 0.7)),
+    ("stitch", (0.5, 0.5)),
+])
+def test_blend_modes_match_reference(ref, corpus, torch_nets, tmp_path,
+                                     blend_type, blend_ratio):
+    """Two-style blending (generate.py:280-308) + explicit first_pose
+    (generate.py:313-354) through BOTH stacks."""
+    nets, opts = torch_nets
+    data_dir = corpus / "processed"
+    ref_models, jax_models = tmp_path / "ref_models", tmp_path / "jax_models"
+    _save_both(nets, ref_models, jax_models)
+
+    audio_file = corpus / "original" / "000_Synth_0.wav"
+    styles = [(corpus / "original" / "001_Synth_1.bvh", (10, 80)),
+              (corpus / "original" / "002_Synth_2.bvh", (0, 60))]
+    first_pose = corpus / "original" / "000_Synth_0.bvh"
+
+    ref_out, jax_out = tmp_path / "ref_out", tmp_path / "jax_out"
+    jax_out.mkdir()
+    common = dict(blend_type=blend_type, blend_ratio=list(blend_ratio),
+                  first_pose=Path(first_pose),
+                  temperature=DETERMINISTIC_TEMPERATURE, seed=21,
+                  file_name="blend")
+    ref.generate.generate_gesture(
+        Path(audio_file), [(Path(p), r) for p, r in styles],
+        network_path=Path(ref_models), data_path=Path(data_dir),
+        results_path=ref_out, use_gpu=False, **common,
+    )
+    pipe = GesturePipeline(jax_models, data_dir, options=opts)
+    enc = generate_gesture(
+        audio_file, styles, network_path=jax_models, data_path=data_dir,
+        results_path=jax_out, pipeline=pipe, **common,
+    )
+    # "add" returns (1, C); "stitch" returns the per-frame (1, T, C) track
+    assert np.asarray(enc).ndim == (2 if blend_type == "add" else 3)
+    _compare_bvh(ref_out / "blend.bvh", jax_out / "blend.bvh",
+                 f"blend[{blend_type}]")
+
+
+def test_label_mode_matches_reference(ref, corpus, torch_nets, tmp_path):
+    """v2 label-based stylization (generate.py:270-276): one-hot style
+    vectors, no style encoder, first_pose mandatory."""
+    m = ref.modules
+    _, opts = torch_nets
+    data_dir = corpus / "processed"
+    label_names = json.loads((data_dir / "data_definition.json").read_text())["label_names"]
+    nlabels = len(label_names)
+
+    torch.manual_seed(13)
+    net = opts.net
+    label_nets = {
+        "speech_encoder": m.SpeechEncoder(
+            81, net.speech_encoder.nhidden, net.speech_encoder.speech_encoding_size
+        ),
+        "decoder": m.Decoder(
+            POSE_IN, POSE_OUT, net.speech_encoder.speech_encoding_size,
+            nlabels, net.decoder.nhidden, 2, rnn_cond="normal",
+        ),
+    }
+    for mod in label_nets.values():
+        mod.eval()
+    ref_models, jax_models = tmp_path / "ref_models", tmp_path / "jax_models"
+    ref_models.mkdir(), jax_models.mkdir()
+    for name, mod in label_nets.items():
+        torch.save(mod, ref_models / f"{name}.pt")
+    checkpoint.save(jax_models / "speech_encoder.npz",
+                    convert_speech_encoder(label_nets["speech_encoder"].state_dict()))
+    checkpoint.save(jax_models / "decoder.npz",
+                    convert_decoder(label_nets["decoder"].state_dict()))
+
+    audio_file = corpus / "original" / "000_Synth_0.wav"
+    first_pose = corpus / "original" / "001_Synth_1.bvh"
+
+    ref_out, jax_out = tmp_path / "ref_out", tmp_path / "jax_out"
+    jax_out.mkdir()
+    common = dict(style_encoding_type="label", first_pose=Path(first_pose),
+                  temperature=1.0, seed=5, file_name="lbl")
+    ref.generate.generate_gesture(
+        Path(audio_file), [label_names[1]], network_path=Path(ref_models),
+        data_path=Path(data_dir), results_path=ref_out, use_gpu=False, **common,
+    )
+    pipe = GesturePipeline(jax_models, data_dir, options=opts,
+                           style_encoding_type="label")
+    generate_gesture(
+        audio_file, [label_names[1]], network_path=jax_models,
+        data_path=data_dir, results_path=jax_out, pipeline=pipe, **common,
+    )
+    _compare_bvh(ref_out / "lbl.bvh", jax_out / "lbl.bvh", "label-mode")
+
+
 def test_style_encoding_matches_reference(ref, corpus, torch_nets, tmp_path):
     """audio=None mode: both stacks return the same style embedding."""
     nets, opts = torch_nets
