@@ -271,6 +271,18 @@ class GesturePipeline:
             out = tuple(o[:, :n] for o in out)
         return out
 
+    def streaming_session(self, styles, first_pose=None, blend_ratio=(0.5, 0.5),
+                          temperature=1.0, seed=1234, gain=1.0):
+        """Open a StreamingSession: push audio chunks, pull gesture frames
+        as they become computable (see infer/streaming.py). Net-new vs the
+        offline reference; emits exactly the offline frames."""
+        from .streaming import StreamingSession
+
+        return StreamingSession(
+            self, styles, first_pose=first_pose, blend_ratio=blend_ratio,
+            temperature=temperature, seed=seed, gain=gain,
+        )
+
     def write_result(self, results_path, file_name, rollout_out, audio_file=None):
         results_path = Path(results_path)
         results_path.mkdir(exist_ok=True, parents=True)

@@ -99,7 +99,7 @@ def _split_w(w, sizes):
     return outs
 
 
-def rollout(
+def init_carry(
     params,
     root_pos,
     root_rot,
@@ -109,6 +109,29 @@ def rollout(
     ltxy,
     lvel,
     lvrt,
+    gaze0,
+    style0,
+    anim_input_mean,
+    anim_input_std,
+    num_rnn_layers=2,
+):
+    """Build the scan carry from a frame-0 pose state (modules.py:82-98).
+
+    gaze0 (B, 3) and style0 (B, C) are the frame-0 conditioning. The carry
+    is (GRU hidden (L, B, H), root_pos, root_rot, root_vel, root_vrt, lpos,
+    ltxy, lvel, lvrt) — pass to `rollout_chunk` to advance any number of
+    frames (the streaming serving path keeps it across chunks)."""
+    pose0 = P.vectorize_input(
+        root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
+        gaze0, anim_input_mean, anim_input_std,
+    )
+    h0 = cell_state_encoder(params["cell_state_encoder"], pose0, style0, num_rnn_layers)
+    return (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
+
+
+def rollout_chunk(
+    params,
+    carry,
     gaze_pos,
     speech_encoding,
     style_encoding,
@@ -117,42 +140,27 @@ def rollout(
     anim_output_mean,
     anim_output_std,
     dt,
-    rnn_cond="normal",
     num_rnn_layers=2,
     compute_dtype=jnp.float32,
     unroll=1,
     remat=False,
     output_indices=None,
 ):
-    """Autoregressive rollout.
+    """Advance the rollout n = speech_encoding.shape[1] frames from `carry`.
 
-    Args mirror Decoder.forward (modules.py:47-162): frame-0 pose state
-    (B, ...) plus per-frame conditioning gaze_pos (B, T, 3),
-    speech_encoding (B, T, S), style_encoding (B, T, C).
-
-    Returns the 8 stacked trajectories (B, T, ...) with frame 0 equal to the
-    inputs, exactly like the reference (modules.py:72-162).
+    The chunked core of `rollout` ('normal' cell): conditioning arrays are
+    per-step (B, n, ...) — every column is consumed as one scan step (no
+    frame-0 special-casing; that lives in `rollout`/`init_carry`). Returns
+    (new_carry, trajectories), trajectories (B, n, ...) for the emitted
+    frames. Chaining chunks is exactly equivalent to one long rollout, so
+    a streaming session can emit frames as audio arrives.
     """
-    if rnn_cond != "normal":
-        return _rollout_film(
-            params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel,
-            lvrt, gaze_pos, speech_encoding, style_encoding, anim_input_mean,
-            anim_input_std, anim_output_mean, anim_output_std, dt,
-            num_rnn_layers,
-        )
-
-    B, T = speech_encoding.shape[:2]
-    njoints = lpos.shape[1]
-    pose_dim = int(anim_input_mean.shape[-1])
     cp = params["cell"]
     cd = compute_dtype
-
-    # Initial hidden state from ground-truth frame 0 (modules.py:82-98).
-    pose0 = P.vectorize_input(
-        root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
-        gaze_pos[:, 0], anim_input_mean, anim_input_std,
-    )
-    h0 = cell_state_encoder(params["cell_state_encoder"], pose0, style_encoding[:, 0], num_rnn_layers)
+    B = speech_encoding.shape[0]
+    T_steps = speech_encoding.shape[1]
+    njoints = carry[5].shape[1]
+    pose_dim = int(anim_input_mean.shape[-1])
 
     # Hoist speech/style contributions of the packed matmuls out of the scan.
     S = speech_encoding.shape[-1]
@@ -169,15 +177,15 @@ def rollout(
     # 240 ms in-step) — or computed per step, which avoids materializing
     # the (B, T, 3H) tensor (3.7 GB at B=1024; OOM at B=2048) at ~2% extra
     # step FLOPs. Pick by the hoisted tensor's size (static shapes).
-    cond = jnp.concatenate([speech_encoding[:, 1:], style_encoding[:, 1:]], axis=-1).astype(cd)
+    cond = jnp.concatenate([speech_encoding, style_encoding], axis=-1).astype(cd)
     w_sp_st_l0 = jnp.concatenate([w0_sp, w0_st], axis=0)
     w_sp_st_g0 = jnp.concatenate([wg_sp, wg_st], axis=0)
     b_l0 = cp["layer0"]["b"].astype(cd)
     b_g0 = cp["gru0"]["b_ih"].astype(cd)
-    hoist = B * T * 4 * H * jnp.dtype(cd).itemsize < 512 * 1024 * 1024
+    hoist = B * (T_steps + 1) * 4 * H * jnp.dtype(cd).itemsize < 512 * 1024 * 1024
     if hoist:
-        pre_l0 = cond @ w_sp_st_l0 + b_l0  # (B, T-1, H)
-        pre_g0 = cond @ w_sp_st_g0 + b_g0  # (B, T-1, 3H)
+        pre_l0 = cond @ w_sp_st_l0 + b_l0  # (B, T_steps, H)
+        pre_g0 = cond @ w_sp_st_g0 + b_g0  # (B, T_steps, 3H)
 
     gru0_rest = {k: v.astype(cd) for k, v in cp["gru0"].items() if k != "w_ih"}
     gru1 = {k: v.astype(cd) for k, v in cp["gru1"].items()}
@@ -222,24 +230,81 @@ def rollout(
 
     if hoist:
         xs = (
-            jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
+            jnp.swapaxes(gaze_pos, 0, 1),
             jnp.swapaxes(pre_l0, 0, 1),
             jnp.swapaxes(pre_g0, 0, 1),
         )
     else:
         xs = (
-            jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
+            jnp.swapaxes(gaze_pos, 0, 1),
             jnp.swapaxes(cond, 0, 1),
         )
-    carry0 = (h0, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
     # remat: recompute per-step activations in the backward pass instead of
     # storing T x (gates + projections) — trades ~2x step FLOPs for O(T)
     # memory reduction on long training windows.
     step_fn = jax.checkpoint(step) if remat else step
-    _, ys = jax.lax.scan(step_fn, carry0, xs, unroll=unroll)
+    final_carry, ys = jax.lax.scan(step_fn, carry, xs, unroll=unroll)
+    return final_carry, tuple(jnp.swapaxes(y, 0, 1) for y in ys)
+
+
+def rollout(
+    params,
+    root_pos,
+    root_rot,
+    root_vel,
+    root_vrt,
+    lpos,
+    ltxy,
+    lvel,
+    lvrt,
+    gaze_pos,
+    speech_encoding,
+    style_encoding,
+    anim_input_mean,
+    anim_input_std,
+    anim_output_mean,
+    anim_output_std,
+    dt,
+    rnn_cond="normal",
+    num_rnn_layers=2,
+    compute_dtype=jnp.float32,
+    unroll=1,
+    remat=False,
+    output_indices=None,
+):
+    """Autoregressive rollout.
+
+    Args mirror Decoder.forward (modules.py:47-162): frame-0 pose state
+    (B, ...) plus per-frame conditioning gaze_pos (B, T, 3),
+    speech_encoding (B, T, S), style_encoding (B, T, C).
+
+    Returns the 8 stacked trajectories (B, T, ...) with frame 0 equal to the
+    inputs, exactly like the reference (modules.py:72-162).
+    """
+    if rnn_cond != "normal":
+        return _rollout_film(
+            params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel,
+            lvrt, gaze_pos, speech_encoding, style_encoding, anim_input_mean,
+            anim_input_std, anim_output_mean, anim_output_std, dt,
+            num_rnn_layers,
+        )
+
+    # Initial hidden state from ground-truth frame 0 (modules.py:82-98).
+    carry0 = init_carry(
+        params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel,
+        lvrt, gaze_pos[:, 0], style_encoding[:, 0], anim_input_mean,
+        anim_input_std, num_rnn_layers,
+    )
+    _, ys = rollout_chunk(
+        params, carry0, gaze_pos[:, 1:], speech_encoding[:, 1:],
+        style_encoding[:, 1:], anim_input_mean, anim_input_std,
+        anim_output_mean, anim_output_std, dt, num_rnn_layers=num_rnn_layers,
+        compute_dtype=compute_dtype, unroll=unroll, remat=remat,
+        output_indices=output_indices,
+    )
 
     def stack(first, rest):
-        return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
+        return jnp.concatenate([first[:, None], rest], axis=1)
 
     firsts = (root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
     if output_indices is None:
