@@ -1,0 +1,90 @@
+"""Streaming-session latency benchmark on the real device.
+
+Simulates a live feed: a full-scale v1 model, audio pushed in fixed-size
+chunks, measuring
+  * time-to-first-gesture-frame (wall clock from the first push),
+  * per-push compute latency p50/p95 (must beat the push period for
+    realtime operation),
+  * end-to-end realtime factor.
+
+Note the axon tunnel adds ~25-70 ms per dispatch; `--quantum` batches
+decoder chunks to trade a few frames of lag for fewer dispatches.
+
+    python scripts/bench_streaming.py --seconds 30 --push-ms 500 --quantum 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/zeggs_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from bench_serve import build_corpus  # noqa: E402  (scripts/ sibling)
+from zeggs_tpu.infer.generate import GesturePipeline  # noqa: E402
+from zeggs_tpu.io import wav  # noqa: E402
+
+
+def run_session(pipe, style, audio, push, quantum):
+    sess = pipe.streaming_session([style], temperature=1.0, seed=1, quantum=quantum)
+    t0 = time.perf_counter()
+    ttff = None
+    lats = []
+    for o in range(0, len(audio), push):
+        t1 = time.perf_counter()
+        new = sess.push(audio[o : o + push])
+        lats.append(time.perf_counter() - t1)
+        if ttff is None and new["root_pos"].shape[0] and sess.frames_emitted > 1:
+            ttff = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    sess.finish()
+    finish_lat = time.perf_counter() - t1
+    total = time.perf_counter() - t0
+    return dict(
+        ttff_s=ttff, push_p50_s=float(np.percentile(lats, 50)),
+        push_p95_s=float(np.percentile(lats, 95)), finish_s=finish_lat,
+        total_s=total, frames=sess.frames_emitted,
+        realtime_factor=(sess.frames_emitted / 60.0) / total,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--push-ms", type=float, default=500.0)
+    ap.add_argument("--quantum", type=int, default=16)
+    ap.add_argument("--root", type=str, default="/tmp/zeggs_stream_bench")
+    args = ap.parse_args(argv)
+
+    net_dir, data_dir, requests, _, opts = build_corpus(Path(args.root), n_requests=1)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts, fused_b1=False)
+    style = requests[0].styles[0]
+
+    sr = pipe.mel_cfg.sampling_rate
+    rng = np.random.default_rng(0)
+    n = int(args.seconds * sr)
+    t = np.arange(n) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+             + 0.05 * rng.normal(size=n)).astype(np.float32)
+    push = int(args.push_ms / 1e3 * sr)
+
+    # cold run compiles the bucketed programs; warm run is the number
+    run_session(pipe, style, audio, push, args.quantum)
+    r = run_session(pipe, style, audio, push, args.quantum)
+    r.update(seconds=args.seconds, push_ms=args.push_ms, quantum=args.quantum)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}))
+
+
+if __name__ == "__main__":
+    main()

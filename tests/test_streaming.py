@@ -129,6 +129,8 @@ def test_streaming_matches_offline(pipe, corpus, tmp_path, kind):
     kw = dict(temperature=1.0, seed=77)
 
     ref = _offline(pipe, corpus, tmp_path, styles, **kw)
+    if kind == "seconds":
+        kw["quantum"] = 16  # batched-dispatch mode must emit identical frames
     got, sess = _stream(
         pipe, audio, styles, _chunk_plan(len(audio), np.random.default_rng(kind == "random" and 5 or 0), kind),
         tmp_path, **kw,

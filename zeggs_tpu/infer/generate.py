@@ -272,7 +272,7 @@ class GesturePipeline:
         return out
 
     def streaming_session(self, styles, first_pose=None, blend_ratio=(0.5, 0.5),
-                          temperature=1.0, seed=1234, gain=1.0):
+                          temperature=1.0, seed=1234, gain=1.0, quantum=1):
         """Open a StreamingSession: push audio chunks, pull gesture frames
         as they become computable (see infer/streaming.py). Net-new vs the
         offline reference; emits exactly the offline frames."""
@@ -280,7 +280,7 @@ class GesturePipeline:
 
         return StreamingSession(
             self, styles, first_pose=first_pose, blend_ratio=blend_ratio,
-            temperature=temperature, seed=seed, gain=gain,
+            temperature=temperature, seed=seed, gain=gain, quantum=quantum,
         )
 
     def write_result(self, results_path, file_name, rollout_out, audio_file=None):

@@ -347,10 +347,15 @@ class StreamingSession:
     """
 
     def __init__(self, pipe, styles, first_pose=None, blend_ratio=(0.5, 0.5),
-                 temperature=1.0, seed=1234, gain=1.0):
+                 temperature=1.0, seed=1234, gain=1.0, quantum=1):
+        """quantum: don't run decoder chunks smaller than this mid-stream
+        (finish() always flushes). >1 trades a few frames of extra lag for
+        fewer dispatches — useful when per-dispatch overhead is high
+        (e.g. the axon tunnel's ~25 ms)."""
         if pipe.opts.net.decoder.rnn_cond != "normal":
             raise NotImplementedError("streaming supports the 'normal' decoder cell")
         self.pipe = pipe
+        self.quantum = int(quantum)
         self._mel = _MelStream(pipe.mel_cfg, gain=gain)
         self._resample = _Resampler(
             pipe.mel_cfg, 60, pipe.audio_feature_type,
@@ -447,7 +452,7 @@ class StreamingSession:
             self._dec_fns[n] = fn
         return self._dec_fns[n]
 
-    def _advance_decoder(self):
+    def _advance_decoder(self, flush=False):
         if self._speech_rows is None:
             return
         emitted = []
@@ -455,7 +460,7 @@ class StreamingSession:
         while True:
             avail = (len(self._speech_rows) - 1) - self._steps_done
             n = _largest_bucket(_DECODER_BUCKETS, avail)
-            if n == 0:
+            if n == 0 or (not flush and n < self.quantum):
                 break
             lo = 1 + self._steps_done
             speech = jnp.asarray(self._speech_rows[lo : lo + n])[None]
@@ -504,7 +509,7 @@ class StreamingSession:
         tail_enc = self._speech.finish(n_frames)
         if tail_enc is not None:
             self._speech_rows = tail_enc if self._speech_rows is None else np.concatenate([self._speech_rows, tail_enc])
-        self._advance_decoder()
+        self._advance_decoder(flush=True)
         assert self.frames_emitted == n_frames, (
             f"emitted {self.frames_emitted} frames, offline would emit {n_frames}"
         )
