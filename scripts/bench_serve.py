@@ -176,16 +176,20 @@ def main(argv=None):
     # ---- sequential replay (reference-style, per-clip latency) -----------
     if not args.skip_sequential:
         out_s = root / "out_seq"
-        lat = []
-        for req in requests:
-            t0 = time.perf_counter()
-            generate_gesture(
-                req.audio, req.styles, network_path=net_dir, data_path=data_dir,
-                results_path=out_s, temperature=req.temperature, seed=req.seed,
-                file_name=req.file_name, pipeline=pipe,
-            )
-            lat.append(time.perf_counter() - t0)
-        lat = np.asarray(lat[1:])  # drop first (bucket compile)
+        # two passes: the first compiles every rollout length bucket
+        # (minutes each through the axon tunnel); the second measures the
+        # warm steady-state serving latency
+        for ipass in range(2):
+            lat = []
+            for req in requests:
+                t0 = time.perf_counter()
+                generate_gesture(
+                    req.audio, req.styles, network_path=net_dir, data_path=data_dir,
+                    results_path=out_s, temperature=req.temperature, seed=req.seed,
+                    file_name=req.file_name, pipeline=pipe,
+                )
+                lat.append(time.perf_counter() - t0)
+        lat = np.asarray(lat)
         result["seq_p50_s"] = round(float(np.percentile(lat, 50)), 3)
         result["seq_p95_s"] = round(float(np.percentile(lat, 95)), 3)
         result["seq_clips_per_s"] = round(len(lat) / float(lat.sum()), 3)

@@ -80,6 +80,7 @@ class GesturePipeline:
             len(self.label_names) if style_encoding_type == "label" else se_cfg.style_encoding_size
         )
         self._rollout_cache = {}
+        self._style_cache = {}
         self._fused_fn = None
         dec_cfg = self.opts.net.decoder
         if fused_b1 == "auto":
@@ -168,24 +169,32 @@ class GesturePipeline:
             def fn(state0, gaze_pos, speech_enc, style_enc):
                 if fused is not None and speech_enc.shape[0] == 1:
                     out = fused(state0, gaze_pos, speech_enc, style_enc)
-                    return tuple(out[i] for i in (0, 1, 4, 5))
-                return decoder.rollout(
-                    self.networks["decoder"],
-                    *state0,
-                    gaze_pos,
-                    speech_enc,
-                    style_enc,
-                    self.stats["anim_input_mean"],
-                    self.stats["anim_input_std"],
-                    self.stats["anim_output_mean"],
-                    self.stats["anim_output_std"],
-                    self.dt,
-                    rnn_cond=dec_cfg.rnn_cond,
-                    num_rnn_layers=dec_cfg.num_rnn_layers,
-                    # inference consumes (root_pos, root_rot, lpos, ltxy);
-                    # selecting here halves rollout HBM for large batches
-                    output_indices=(0, 1, 4, 5),
-                )
+                    out = tuple(out[i] for i in (0, 1, 4, 5))
+                else:
+                    out = decoder.rollout(
+                        self.networks["decoder"],
+                        *state0,
+                        gaze_pos,
+                        speech_enc,
+                        style_enc,
+                        self.stats["anim_input_mean"],
+                        self.stats["anim_input_std"],
+                        self.stats["anim_output_mean"],
+                        self.stats["anim_output_std"],
+                        self.dt,
+                        rnn_cond=dec_cfg.rnn_cond,
+                        num_rnn_layers=dec_cfg.num_rnn_layers,
+                        # inference consumes (root_pos, root_rot, lpos, ltxy);
+                        # selecting here halves rollout HBM for large batches
+                        output_indices=(0, 1, 4, 5),
+                    )
+                # rot6d -> quaternion ON DEVICE: BVH export needs quats, and
+                # converting here (a) fuses into the rollout program, (b)
+                # shrinks the device->host transfer by a third (J*4 vs J*6
+                # floats), (c) removes the per-clip host-CPU conversion that
+                # dominated serving writes (measured ~190 ms/clip -> ~45 ms)
+                lrot = quat.from_xform(xform.orthogonalize_from_xy(out[3]))
+                return out[:3] + (lrot,)
 
             self._rollout_cache[n_frames] = fn
         return self._rollout_cache[n_frames]
@@ -200,9 +209,21 @@ class GesturePipeline:
         n_frames = int(round(60.0 * (len(audio) / self.mel_cfg.sampling_rate)))
         with host_cpu():
             feats = F.preprocess_audio(audio, 60, n_frames, self.mel_cfg, self.audio_feature_type)
-        return jnp.asarray(feats), n_frames
+        # return a HOST array: features are computed on host CPU anyway, and
+        # consumers either feed them straight into a jitted encoder (which
+        # uploads once) or assemble host-side batches — uploading here would
+        # force a ~0.27 s device round-trip per clip in the serving path
+        return np.asarray(feats), n_frames
 
     def style_example_from_bvh(self, path, frames=None):
+        """BVH example -> (feature vec, AnimFeatures). Cached by (path,
+        mtime, frames): serving workloads reuse a small set of style clips
+        across many requests, and the host-side FK featurization is the
+        expensive part (~25 ms per 512-frame example)."""
+        key = (str(path), Path(path).stat().st_mtime_ns, tuple(frames) if frames else None)
+        hit = self._style_cache.get(key)
+        if hit is not None:
+            return hit
         anim = bvh.load(path)
         if frames is not None:
             anim["rotations"] = anim["rotations"][frames[0] : frames[1]]
@@ -214,6 +235,9 @@ class GesturePipeline:
             vec = pose.example_feature_vec(
                 feats.root_vel, feats.root_vrt, feats.lpos, feats.ltxy, feats.lvel, feats.lvrt
             )
+        if len(self._style_cache) >= 128:
+            self._style_cache.pop(next(iter(self._style_cache)))
+        self._style_cache[key] = (vec, feats)
         return vec, feats
 
     def encode_style(self, example_vec, temperature=1.0, rng=None):
@@ -237,8 +261,9 @@ class GesturePipeline:
     # -- rollout ----------------------------------------------------------
 
     def rollout(self, first_pose_feats, gaze_pos, speech_enc, style_enc, bucket=64):
-        """Single-clip rollout; inputs (1, T, ...). Returns stacked pose
-        trajectories (1, T, ...).
+        """Single-clip rollout; inputs (1, T, ...). Returns stacked
+        (root_pos, root_rot, lpos, lrot) trajectories (1, T, ...), joint
+        rotations already converted to quaternions on device.
 
         T is padded up to a multiple of ``bucket`` (edge-repeated
         conditioning) and the result sliced back: the decoder is causal, so
@@ -286,9 +311,14 @@ class GesturePipeline:
     def write_result(self, results_path, file_name, rollout_out, audio_file=None):
         results_path = Path(results_path)
         results_path.mkdir(exist_ok=True, parents=True)
-        o_root_pos, o_root_rot, o_lpos, o_ltxy = rollout_out[:4]
-        with host_cpu():
-            lrot = _ltxy_to_quat(jnp.asarray(np.asarray(o_ltxy)))
+        # ONE batched pull for all four trajectories: serial np.asarray
+        # round-trips cost ~0.27 s each through the device tunnel
+        o_root_pos, o_root_rot, o_lpos, o_last = jax.device_get(rollout_out[:4])
+        if o_last.ndim == 5:  # (1, T, J, 2, 3) rot6d — convert on host
+            with host_cpu():
+                lrot = _ltxy_to_quat(jnp.asarray(o_last))
+        else:  # (1, T, J, 4): already quaternions (device-converted rollout)
+            lrot = o_last
         out_file = results_path / (file_name + ".bvh")
         write_bvh(
             str(out_file),

@@ -469,10 +469,13 @@ class StreamingSession:
             self._carry, out = self._dec_fn(n)(self._carry, gaze, speech, style)
             emitted.append(out)
             self._steps_done += n
+        # one batched pull for all chunks emitted this call (per-array
+        # np.asarray round-trips cost ~0.27 s each through the tunnel)
+        emitted = jax.device_get([tuple(o[:4]) for o in emitted])
         for out in emitted:
             entry = {
-                "root_pos": np.asarray(out[0][0]), "root_rot": np.asarray(out[1][0]),
-                "lpos": np.asarray(out[2][0]), "ltxy": np.asarray(out[3][0]),
+                "root_pos": out[0][0], "root_rot": out[1][0],
+                "lpos": out[2][0], "ltxy": out[3][0],
             }
             self._out.append(entry)  # every entry holds (n, ...) arrays
             self.frames_emitted += entry["root_pos"].shape[0]

@@ -35,6 +35,7 @@ models/decoder.py::rollout(fused=...).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -210,8 +211,16 @@ def _build_kernel(pose_in, pose_out, H, dt):
     n_chunks = len(schedule)
     rows = (PP, H)  # rows used per array
     # pipeline depth: must divide n_chunks so slot assignment (c % NSLOTS)
-    # stays consistent when prefetch wraps into the next grid step
-    nslots = next((k for k in (5, 7, 4, 3, 6, 8, 2) if n_chunks % k == 0), 1)
+    # stays consistent when prefetch wraps into the next grid step.
+    # ZEGGS_FUSED_NSLOTS overrides for depth experiments (A/B in separate
+    # processes: the jit cache doesn't key on it). Measured on v5e (full v1
+    # model, 35 chunks): depth 5 = 32.3 ms / 10 s clip, depth 7 no better —
+    # the residual is M=1 MXU latency, not DMA starvation.
+    forced = int(os.environ.get("ZEGGS_FUSED_NSLOTS", "0"))
+    if forced > 1 and n_chunks % forced == 0:
+        nslots = forced
+    else:
+        nslots = next((k for k in (5, 7, 4, 3, 6, 8, 2) if n_chunks % k == 0), 1)
     if nslots == 1:
         nslots = 2  # fall back: per-step prime, no cross-step wrap
     wrap_ok = n_chunks % nslots == 0
