@@ -30,7 +30,8 @@ from zeggs_tpu.models import decoder, speech_encoder
 from zeggs_tpu.train.loop import init_networks
 
 
-def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, chain=1):
+def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, chain=1,
+                      fused_dtype=jnp.bfloat16):
     """chain > 1 runs that many back-to-back rollouts inside ONE jit (each
     feeding its last frame into the next initial state) so the axon
     tunnel's ~25 ms per-dispatch overhead amortizes out of B=1 latency."""
@@ -39,6 +40,7 @@ def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, ch
         fused = decoder.make_fused_b1_fn(
             params["decoder"], stats["anim_input_mean"], stats["anim_input_std"],
             stats["anim_output_mean"], stats["anim_output_std"], 1.0 / 60.0,
+            weights_dtype=fused_dtype,
         )
 
     def one(audio, gaze, style, state0):
@@ -66,7 +68,8 @@ def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, ch
     return jax.jit(fn)
 
 
-def bench(batch, seconds, iters, compute_dtype, warmup=2, unroll=1, fused_b1=False, chain=1):
+def bench(batch, seconds, iters, compute_dtype, warmup=2, unroll=1, fused_b1=False, chain=1,
+          fused_dtype=jnp.bfloat16):
     opts = C.Options()
     key = jax.random.PRNGKey(0)
     dims = dict(num_audio_features=AUDIO_DIM, pose_input_size=POSE_IN, pose_output_size=POSE_OUT)
@@ -80,7 +83,8 @@ def bench(batch, seconds, iters, compute_dtype, warmup=2, unroll=1, fused_b1=Fal
     gaze = jnp.asarray(rng.normal(size=(batch, T, 3)).astype(np.float32))
     style = jnp.asarray(rng.normal(size=(batch, T, 64)).astype(np.float32))
 
-    fn = make_synthesis_fn(params, stats, compute_dtype, unroll, fused_b1=fused_b1, chain=chain)
+    fn = make_synthesis_fn(params, stats, compute_dtype, unroll, fused_b1=fused_b1, chain=chain,
+                           fused_dtype=fused_dtype)
     for _ in range(warmup):
         jax.block_until_ready(fn(audio, gaze, style, state0))
     times = []
@@ -114,6 +118,13 @@ def main():
     _, lat = bench(1, seconds, max(iters, 5), dtype, fused_b1=on_tpu,
                    chain=10 if on_tpu else 1)
     print(f"# p50 latency per 10s clip (B=1, fused={on_tpu}): {lat:.3f}s", file=sys.stderr)
+    lat8 = None
+    if on_tpu:
+        # int8 quantized weight streaming (pose MAE 3-5e-4 vs fp32, inside
+        # the 1e-3 parity budget; see docs/DESIGN.md §6)
+        _, lat8 = bench(1, seconds, max(iters, 5), dtype, fused_b1=True,
+                        chain=10, fused_dtype=jnp.int8)
+        print(f"# p50 latency per 10s clip (B=1, int8 fused): {lat8:.3f}s", file=sys.stderr)
 
     baseline = 20 * 60.0  # 20x realtime per chip
     print(
@@ -123,7 +134,10 @@ def main():
                 "value": round(best_fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(best_fps / baseline, 3),
-                "extra": {"b1_latency_10s_clip_ms": round(lat * 1e3, 1)},
+                "extra": {
+                    "b1_latency_10s_clip_ms": round(lat * 1e3, 1),
+                    **({"b1_latency_int8_ms": round(lat8 * 1e3, 1)} if lat8 else {}),
+                },
             }
         )
     )

@@ -121,15 +121,31 @@ def main():
         e_bf16 = float(np.mean(np.abs(np.asarray(b) - np.asarray(r))))
         print(f"  {name:9s} MAE vs fp32: fused {e_fused:.3e} | xla-bf16 {e_bf16:.3e}")
 
-    bound_ms = 1e3 * (T - 1) * (
-        (params["decoder"]["cell"]["layer0"]["w"].size
-         + params["decoder"]["cell"]["gru0"]["w_ih"].size
-         + params["decoder"]["cell"]["gru0"]["w_hh"].size
-         + params["decoder"]["cell"]["gru1"]["w_ih"].size
-         + params["decoder"]["cell"]["gru1"]["w_hh"].size
-         + params["decoder"]["cell"]["out"]["w"].size) * 2
-    ) / 819e9
-    print(f"weight-streaming bound ~{bound_ms:.1f} ms (819 GB/s HBM)")
+    # int8-quantized fused path (per-column weight scales, dynamic act quant)
+    fused8 = decoder.make_fused_b1_fn(
+        params["decoder"], stats["anim_input_mean"], stats["anim_input_std"],
+        stats["anim_output_mean"], stats["anim_output_std"], 1.0 / 60.0,
+        weights_dtype=jnp.int8, interpret=False,
+    )
+    fused8_chain = chain(fused8)
+    t_fused8 = median_time(lambda: fused8_chain(state0, gaze, speech, style)) / K
+    print(f"fused kernel (int8): {t_fused8 * 1e3:8.2f} ms  ({t_xla / t_fused8:.2f}x)")
+    fused8_j = jax.jit(lambda s0, g, sp, st: tuple(fused8(s0, g, sp, st)[i] for i in (0, 1, 4, 5)))
+    got8 = jax.device_get(fused8_j(state0, gaze, speech, style))
+    for name, r, g in zip(("root_pos", "root_rot", "lpos", "ltxy"), ref, got8):
+        e8 = float(np.mean(np.abs(np.asarray(g) - np.asarray(r))))
+        print(f"  {name:9s} MAE vs fp32: int8-fused {e8:.3e}")
+
+    nweights = (
+        params["decoder"]["cell"]["layer0"]["w"].size
+        + params["decoder"]["cell"]["gru0"]["w_ih"].size
+        + params["decoder"]["cell"]["gru0"]["w_hh"].size
+        + params["decoder"]["cell"]["gru1"]["w_ih"].size
+        + params["decoder"]["cell"]["gru1"]["w_hh"].size
+        + params["decoder"]["cell"]["out"]["w"].size
+    )
+    bound_ms = 1e3 * (T - 1) * (nweights * 2) / 819e9
+    print(f"weight-streaming bound ~{bound_ms:.1f} ms bf16 / ~{bound_ms / 2:.1f} ms int8 (819 GB/s HBM)")
 
 
 if __name__ == "__main__":

@@ -103,3 +103,60 @@ def test_fused_decoder_rollout_matches_xla():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=3e-4, rtol=1e-3, err_msg=name
         )
+
+
+def test_fused_decoder_rollout_int8_quantized():
+    """The int8-quantized fused rollout (per-column weight scales, dynamic
+    per-step activation quant, int8 MXU dots) tracks the fp32 rollout
+    within quantization noise over a 24-frame autoregressive run."""
+    import numpy as np
+
+    from zeggs_tpu.models import decoder
+
+    njoints = 8
+    pose_in = 6 + njoints * 15 + 3
+    pose_out = 6 + njoints * 15
+    H, S, C, T = 128, 16, 8, 24
+    key = jax.random.PRNGKey(3)
+    params = decoder.init(key, pose_in, pose_out, S, C, H, 2, "normal")
+
+    rng = np.random.default_rng(0)
+    mean_in = jnp.asarray(rng.normal(size=pose_in).astype(np.float32) * 0.05)
+    std_in = jnp.asarray(rng.uniform(0.5, 2.0, pose_in).astype(np.float32))
+    mean_out = jnp.asarray(rng.normal(size=pose_out).astype(np.float32) * 0.05)
+    std_out = jnp.asarray(rng.uniform(0.5, 2.0, pose_out).astype(np.float32))
+
+    q = rng.normal(size=(1, 4)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    state0 = (
+        jnp.asarray(rng.normal(size=(1, 3)).astype(np.float32)),
+        jnp.asarray(q),
+        jnp.asarray(rng.normal(size=(1, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(1, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(1, njoints, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, njoints, 2, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(1, njoints, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(1, njoints, 3)).astype(np.float32) * 0.1),
+    )
+    gaze = jnp.asarray(rng.normal(size=(1, T, 3)).astype(np.float32))
+    speech = jnp.asarray(rng.normal(size=(1, T, S)).astype(np.float32))
+    style = jnp.asarray(rng.normal(size=(1, T, C)).astype(np.float32))
+    dt = 1.0 / 60.0
+
+    ref = decoder.rollout(
+        params, *state0, gaze, speech, style,
+        mean_in, std_in, mean_out, std_out, dt,
+    )
+    fn = decoder.make_fused_b1_fn(
+        params, mean_in, std_in, mean_out, std_out, dt,
+        weights_dtype=jnp.int8, interpret=jax.default_backend() != "tpu",
+    )
+    out = fn(state0, gaze, speech, style)
+
+    names = ["root_pos", "root_rot", "root_vel", "root_vrt",
+             "lpos", "ltxy", "lvel", "lvrt"]
+    for name, a, b in zip(names, ref, out):
+        assert a.shape == b.shape, name
+        err = np.abs(np.asarray(b) - np.asarray(a))
+        scale = max(1.0, float(np.abs(np.asarray(a)).max()))
+        assert err.max() / scale < 3e-2, (name, err.max(), scale)

@@ -51,7 +51,10 @@ class GesturePipeline:
                  fused_b1="auto"):
         """fused_b1: use the whole-rollout fused Pallas kernel for B=1
         requests ("auto" = on TPU when the cell qualifies; True/False to
-        force). Batched requests always take the XLA scan path."""
+        force; "int8" = the quantized variant — half the weight-streaming
+        bytes, int8 MXU dots, pose error ~1e-3 vs ~1e-4 for bf16; also
+        selectable via ZEGGS_FUSED_INT8=1). Batched requests always take
+        the XLA scan path."""
         network_path = Path(network_path)
         data_path = Path(data_path)
         self.style_encoding_type = style_encoding_type
@@ -83,16 +86,22 @@ class GesturePipeline:
         self._style_cache = {}
         self._fused_fn = None
         dec_cfg = self.opts.net.decoder
-        if fused_b1 == "auto":
-            fused_b1 = jax.default_backend() == "tpu" and decoder.fused_b1_supported(
+        import os as _os
+
+        if fused_b1 == "auto" and _os.environ.get("ZEGGS_FUSED_INT8"):
+            fused_b1 = "int8"
+        if fused_b1 in ("auto", "int8"):
+            supported = jax.default_backend() == "tpu" and decoder.fused_b1_supported(
                 self.networks["decoder"], dec_cfg.rnn_cond, dec_cfg.num_rnn_layers
             )
+            fused_b1 = (fused_b1 if supported else False) if fused_b1 == "int8" else supported
         if fused_b1:
             self._fused_fn = decoder.make_fused_b1_fn(
                 self.networks["decoder"],
                 self.stats["anim_input_mean"], self.stats["anim_input_std"],
                 self.stats["anim_output_mean"], self.stats["anim_output_std"],
                 self.dt,
+                weights_dtype=jnp.int8 if fused_b1 == "int8" else jnp.bfloat16,
             )
         self._build_jitted()
 
