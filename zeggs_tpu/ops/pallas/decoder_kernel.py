@@ -235,29 +235,67 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
             schedule.append((aid, base + o, w, ph, o))
     n_chunks = len(schedule)
     rows = (PP, H)  # rows used per array
-    # pipeline depth: must divide n_chunks so slot assignment (c % NSLOTS)
-    # stays consistent when prefetch wraps into the next grid step.
-    # ZEGGS_FUSED_NSLOTS overrides for depth experiments (A/B in separate
-    # processes: the jit cache doesn't key on it). Measured on v5e (full v1
-    # model, 35 chunks): depth 5 = 32.3 ms / 10 s clip, depth 7 no better —
-    # the residual is M=1 MXU latency, not DMA starvation.
+    rows_max = max(PP, H)
+
+    # --- VMEM weight residency --------------------------------------------
+    # The TAIL chunks of the schedule stay resident in a VMEM scratch,
+    # loaded once at t == 0; only the head chunks stream through the ring
+    # every step. Tail-resident is optimal: the streamed chunks are then
+    # the EARLY phases, whose next-step DMAs are issued as their slot
+    # frees mid-step — nearly a full step of prefetch lead. Budget is
+    # bytes (env ZEGGS_FUSED_RESIDENT_BYTES to override; 0 disables);
+    # defaults leave ~3.5 MB for the ring + ~1.5 MB misc inside ~16 MB
+    # VMEM.
+    bytes_per = 1 if quantized else 2
+    slot_bytes = rows_max * CHUNK * bytes_per
+    budget = int(
+        os.environ.get(
+            "ZEGGS_FUSED_RESIDENT_BYTES",
+            str(11_000_000 if quantized else 8_000_000),
+        )
+    )
+    n_res = min(n_chunks - 2, max(0, budget // slot_bytes))
+
+    # pipeline depth: must divide the STREAMED chunk count so slot
+    # assignment stays consistent when prefetch wraps into the next grid
+    # step. ZEGGS_FUSED_NSLOTS overrides for depth experiments (A/B in
+    # separate processes: the jit cache doesn't key on it). Measured on
+    # v5e (full v1 model, 35 chunks, no residency): depth 5 = 32.3 ms /
+    # 10 s clip, depth 7 no better — the residual is M=1 MXU latency, not
+    # DMA starvation.
     forced = int(os.environ.get("ZEGGS_FUSED_NSLOTS", "0"))
-    if forced > 1 and n_chunks % forced == 0:
-        nslots = forced
-    else:
-        nslots = next((k for k in (5, 7, 4, 3, 6, 8, 2) if n_chunks % k == 0), 1)
+
+    def pick(ns):
+        if forced > 1 and ns % forced == 0:
+            return forced
+        return next((k for k in (5, 6, 7, 4, 3, 8, 2) if ns % k == 0), 1)
+
+    # shrink residency until the streamed count admits a wrap-consistent
+    # pipeline depth
+    while n_res > 0 and pick(n_chunks - n_res) == 1:
+        n_res -= 1
+    n_streamed = n_chunks - n_res
+    nslots = pick(n_streamed)
     if nslots == 1:
         nslots = 2  # fall back: per-step prime, no cross-step wrap
-    wrap_ok = n_chunks % nslots == 0
+    wrap_ok = n_streamed % nslots == 0
 
     def kernel(cond_l0_ref, cond_g0_ref, gaze_ref, wx_ref, wh_ref, sx_ref,
                sh_ref, gbias_ref, bout_ref, stats_ref, p0_ref, h0_ref,
                root0_ref,
                out_ref,
-               pprev, h0s, h1s, root, wbuf, cl0_s, cg0_s, gz_s, orow,
-               sems, row_sems):
+               pprev, h0s, h1s, root, wbuf, rbuf, cl0_s, cg0_s, gz_s, orow,
+               sems, res_sems, row_sems):
         t = pl.program_id(0)
         nsteps = pl.num_programs(0)
+
+        def _res_dma(j):
+            aid, c0, w, _, _ = schedule[n_streamed + j]
+            src = wx_ref if aid == 0 else wh_ref
+            r = rows[aid]
+            return pltpu.make_async_copy(
+                src.at[:, pl.ds(c0, w)], rbuf.at[j, :r, :w], res_sems.at[j]
+            )
 
         @pl.when(t == 0)
         def _init():
@@ -266,6 +304,13 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
             h1s[:] = h0_ref[1:2, :]
             for k in range(7):
                 root[k] = root0_ref[0, k]
+            # load the resident tail of the weight schedule once; stays in
+            # VMEM scratch for the whole rollout (grid steps run
+            # sequentially on one core, scratch persists)
+            for j in range(n_res):
+                _res_dma(j).start()
+            for j in range(n_res):
+                _res_dma(j).wait()
 
         def _dma(i):
             aid, c0, w, _, _ = schedule[i]
@@ -284,25 +329,26 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
 
         def prefetch(c):
             """Issue the DMA that reuses chunk c's slot: chunk c+nslots of
-            the periodic schedule — wrapping into the NEXT step's stream
-            when the depth crosses the step boundary (the weights are the
-            same every step, so only the slot assignment must line up)."""
+            the periodic STREAMED schedule — wrapping into the NEXT step's
+            stream when the depth crosses the step boundary (the weights
+            are the same every step, so only the slot assignment must line
+            up)."""
             nxt = c + nslots
-            if nxt < n_chunks:
+            if nxt < n_streamed:
                 start(nxt)
             elif wrap_ok:
                 @pl.when(t + 1 < nsteps)
                 def _():
-                    start(nxt - n_chunks)
+                    start(nxt - n_streamed)
 
         if wrap_ok:
             # slots primed by the previous step (or here at t == 0)
             @pl.when(t == 0)
             def _prime():
-                for k in range(nslots):
+                for k in range(min(nslots, n_streamed)):
                     start(k)
         else:
-            for k in range(min(nslots, n_chunks)):
+            for k in range(min(nslots, n_streamed)):
                 start(k)
 
         # per-step conditioning rows: tiny HBM->VMEM DMAs. The arrays are
@@ -355,23 +401,26 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
             parts = []
             i = first_chunk_idx
             while i < n_chunks and schedule[i][3] == ph:
-                wait(i)
                 aid, c0, w, _, _ = schedule[i]
                 r = rows[aid]
+                if i < n_streamed:
+                    wait(i)
+                    wchunk = wbuf[i % nslots, :r, :w]
+                else:
+                    wchunk = rbuf[i - n_streamed, :r, :w]
                 if quantized:
                     aq, sa = acts[ph]
-                    acc = jnp.dot(aq, wbuf[i % nslots, :r, :w],
-                                  preferred_element_type=jnp.int32)
+                    acc = jnp.dot(aq, wchunk, preferred_element_type=jnp.int32)
                     scale_ref = sx_ref if aid == 0 else sh_ref
                     parts.append(
                         acc.astype(jnp.float32) * (sa * scale_ref[0:1, c0 : c0 + w])
                     )
                 else:
                     parts.append(
-                        jnp.dot(acts[ph], wbuf[i % nslots, :r, :w],
-                                preferred_element_type=jnp.float32)
+                        jnp.dot(acts[ph], wchunk, preferred_element_type=jnp.float32)
                     )
-                prefetch(i)
+                if i < n_streamed:
+                    prefetch(i)
                 i += 1
             return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0], i
 
@@ -444,7 +493,7 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
         # orow is rewritten next step — the store must land first
         row_out.wait()
 
-    return kernel, PP, PO, SW, nslots
+    return kernel, PP, PO, SW, nslots, n_res
 
 
 @functools.partial(
@@ -455,7 +504,7 @@ def _fused_call(cond_l0, cond_g0, gaze, packed_wx, packed_wh, packed_sx,
                 packed_sh, gbias, bout, stats, p0, h_init, root0, *,
                 pose_in, pose_out, H, dt, interpret):
     quantized = packed_wx.dtype == jnp.int8
-    kernel, PP, PO, SW, n_slots = _build_kernel(
+    kernel, PP, PO, SW, n_slots, n_res = _build_kernel(
         pose_in, pose_out, H, dt, quantized=quantized
     )
     Tm1 = cond_l0.shape[0]
@@ -493,11 +542,13 @@ def _fused_call(cond_l0, cond_g0, gaze, packed_wx, packed_wh, packed_sx,
             pltpu.VMEM((1, H), jnp.float32),       # h1
             pltpu.SMEM((8,), jnp.float32),         # root
             pltpu.VMEM((n_slots, max(PP, H), CHUNK), packed_wx.dtype),  # wbuf
+            pltpu.VMEM((max(n_res, 1), max(PP, H), CHUNK), packed_wx.dtype),  # rbuf (resident)
             pltpu.VMEM((1, 8, H), jnp.float32),    # cond_l0 row tile
             pltpu.VMEM((1, 8, G), jnp.float32),    # cond_g0 row tile
             pltpu.VMEM((1, 8, LANE), jnp.float32), # gaze row tile
             pltpu.VMEM((1, 8, SW), jnp.float32),   # out row staging
             pltpu.SemaphoreType.DMA((n_slots,)),   # weight-chunk slots
+            pltpu.SemaphoreType.DMA((max(n_res, 1),)),  # resident loads
             pltpu.SemaphoreType.DMA((4,)),         # cond rows + out store
         ],
         interpret=interpret,
