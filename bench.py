@@ -31,7 +31,7 @@ from zeggs_tpu.train.loop import init_networks
 
 
 def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, chain=1,
-                      fused_dtype=jnp.bfloat16):
+                      fused_dtype=jnp.bfloat16, quantize_int8=False):
     """chain > 1 runs that many back-to-back rollouts inside ONE jit (each
     feeding its last frame into the next initial state) so the axon
     tunnel's ~25 ms per-dispatch overhead amortizes out of B=1 latency."""
@@ -53,6 +53,7 @@ def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, ch
             stats["anim_output_mean"], stats["anim_output_std"],
             1.0 / 60.0, compute_dtype=compute_dtype, unroll=unroll,
             output_indices=None if chain > 1 else (0, 1, 4, 5),
+            quantize_int8=quantize_int8,
         )
 
     def fn(audio, gaze, style, state0):
@@ -69,7 +70,7 @@ def make_synthesis_fn(params, stats, compute_dtype, unroll=1, fused_b1=False, ch
 
 
 def bench(batch, seconds, iters, compute_dtype, warmup=2, unroll=1, fused_b1=False, chain=1,
-          fused_dtype=jnp.bfloat16):
+          fused_dtype=jnp.bfloat16, quantize_int8=False):
     opts = C.Options()
     key = jax.random.PRNGKey(0)
     dims = dict(num_audio_features=AUDIO_DIM, pose_input_size=POSE_IN, pose_output_size=POSE_OUT)
@@ -84,7 +85,7 @@ def bench(batch, seconds, iters, compute_dtype, warmup=2, unroll=1, fused_b1=Fal
     style = jnp.asarray(rng.normal(size=(batch, T, 64)).astype(np.float32))
 
     fn = make_synthesis_fn(params, stats, compute_dtype, unroll, fused_b1=fused_b1, chain=chain,
-                           fused_dtype=fused_dtype)
+                           fused_dtype=fused_dtype, quantize_int8=quantize_int8)
     for _ in range(warmup):
         jax.block_until_ready(fn(audio, gaze, style, state0))
     times = []
@@ -112,6 +113,14 @@ def main():
         print(f"# batch={b}: {fps:,.0f} frames/s ({t:.3f}s per {b}x{seconds:.0f}s batch)", file=sys.stderr)
         best_fps = max(best_fps, fps)
 
+    fps8 = None
+    if on_tpu:
+        # int8 quantized batched synthesis (pose MAE 3-5e-4 vs fp32, inside
+        # the 1e-3 parity budget; docs/DESIGN.md §6)
+        fps8, t8 = bench(batches[-1], seconds, iters, dtype, unroll=unroll,
+                         quantize_int8=True)
+        print(f"# batch={batches[-1]} int8: {fps8:,.0f} frames/s ({t8:.3f}s per batch)", file=sys.stderr)
+
     # p50 latency for one 10 s clip (B=1): the fused whole-rollout Pallas
     # kernel is the production B=1 serving path on TPU; 10 rollouts chained
     # per dispatch amortize the axon tunnel's ~25 ms dispatch overhead
@@ -137,6 +146,7 @@ def main():
                 "extra": {
                     "b1_latency_10s_clip_ms": round(lat * 1e3, 1),
                     **({"b1_latency_int8_ms": round(lat8 * 1e3, 1)} if lat8 else {}),
+                    **({"batched_int8_fps": round(fps8, 1)} if fps8 else {}),
                 },
             }
         )

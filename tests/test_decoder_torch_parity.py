@@ -172,3 +172,52 @@ def test_full_decoder_rollout_matches_torch():
         mae = float(np.abs(np.asarray(a) - b.numpy()).mean())
         assert mae < 1e-3, f"{name}: MAE {mae}"
         np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=5e-3, err_msg=name)
+
+
+def test_rollout_int8_quantized_tracks_fp32():
+    """The int8 quantized scan path (per-column weight scales, dynamic
+    per-row activation quant, int8 MXU dots) tracks the fp32 rollout within
+    quantization noise over a 24-frame autoregressive run."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from zeggs_tpu.models import decoder
+
+    njoints = 8
+    pose_in = 6 + njoints * 15 + 3
+    pose_out = 6 + njoints * 15
+    H, S, C, T = 128, 16, 8, 24
+    params = decoder.init(jax.random.PRNGKey(3), pose_in, pose_out, S, C, H, 2, "normal")
+
+    rng = np.random.default_rng(0)
+    mean_in = jnp.asarray(rng.normal(size=pose_in).astype(np.float32) * 0.05)
+    std_in = jnp.asarray(rng.uniform(0.5, 2.0, pose_in).astype(np.float32))
+    mean_out = jnp.asarray(rng.normal(size=pose_out).astype(np.float32) * 0.05)
+    std_out = jnp.asarray(rng.uniform(0.5, 2.0, pose_out).astype(np.float32))
+    q = rng.normal(size=(2, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    state0 = (
+        jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32)),
+        jnp.asarray(q),
+        jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(2, njoints, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, njoints, 2, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, njoints, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.normal(size=(2, njoints, 3)).astype(np.float32) * 0.1),
+    )
+    gaze = jnp.asarray(rng.normal(size=(2, T, 3)).astype(np.float32))
+    speech = jnp.asarray(rng.normal(size=(2, T, S)).astype(np.float32))
+    style = jnp.asarray(rng.normal(size=(2, T, C)).astype(np.float32))
+
+    args = (params, *state0, gaze, speech, style, mean_in, std_in, mean_out, std_out, 1.0 / 60.0)
+    ref = decoder.rollout(*args)
+    got = decoder.rollout(*args, quantize_int8=True)
+    for name, a, b in zip(
+        ["root_pos", "root_rot", "root_vel", "root_vrt", "lpos", "ltxy", "lvel", "lvrt"],
+        ref, got,
+    ):
+        err = np.abs(np.asarray(b) - np.asarray(a))
+        scale = max(1.0, float(np.abs(np.asarray(a)).max()))
+        assert err.max() / scale < 3e-2, (name, err.max(), scale)

@@ -145,6 +145,7 @@ def rollout_chunk(
     unroll=1,
     remat=False,
     output_indices=None,
+    quantize_int8=False,
 ):
     """Advance the rollout n = speech_encoding.shape[1] frames from `carry`.
 
@@ -192,6 +193,43 @@ def rollout_chunk(
     w_out = cp["out"]["w"].astype(cd)
     b_out = cp["out"]["b"].astype(cd)
 
+    # int8 quantized compute (inference only): per-output-column symmetric
+    # int8 weights + dynamic per-row activation quant; the in-step matmuls
+    # run int8 x int8 -> int32 on the MXU at 2x bf16 peak. Accuracy matches
+    # the fused int8 serving kernel (pose MAE 3-5e-4 vs fp32, inside the
+    # 1e-3 parity budget) — see ops/pallas/decoder_kernel.py. The hoisted
+    # conditioning projections, gates, and pose integration stay high
+    # precision.
+    if quantize_int8:
+        def _qw(w):
+            w = w.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-12) / 127.0
+            return jnp.round(w / s).astype(jnp.int8), s
+
+        def _qa(x):
+            x = x.astype(jnp.float32)
+            s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
+            return jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8), s
+
+        def _qdot(xq_sx, wq_sw):
+            (xq, sx), (wq, sw) = xq_sx, wq_sw
+            acc = jax.lax.dot_general(
+                xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(jnp.float32) * (sx * sw)
+
+        q_w0_pose = _qw(cp["layer0"]["w"][:pose_dim])
+        q_wg_h = _qw(cp["gru0"]["w_ih"][:H])
+        q_wg_pose = _qw(cp["gru0"]["w_ih"][H : H + pose_dim])
+        q_g0_whh = _qw(cp["gru0"]["w_hh"])
+        q_g1_wih = _qw(cp["gru1"]["w_ih"])
+        q_g1_whh = _qw(cp["gru1"]["w_hh"])
+        q_w_out = _qw(cp["out"]["w"])
+        b_g0_hh = cp["gru0"]["b_hh"].astype(jnp.float32)
+        b_g1_ih = cp["gru1"]["b_ih"].astype(jnp.float32)
+        b_g1_hh = cp["gru1"]["b_hh"].astype(jnp.float32)
+
     mean_in = anim_input_mean.astype(jnp.float32)
     std_in = anim_input_std.astype(jnp.float32)
     mean_out = anim_output_mean.astype(jnp.float32)
@@ -206,18 +244,36 @@ def rollout_chunk(
             pre_l0_t = cond_t @ w_sp_st_l0 + b_l0
             pre_g0_t = cond_t @ w_sp_st_g0 + b_g0
         pose = P.vectorize_input(rp, rr, rv, rw, jp, jt, jv, jw, gaze_t, mean_in, std_in)
-        pose_c = pose.astype(cd)
-        hidden = jax.nn.elu(pre_l0_t + pose_c @ w0_pose)
-        gi = pre_g0_t + hidden @ wg_h + pose_c @ wg_pose
-        # GRU layer 0 (input projection precomputed above)
-        gh = h[0].astype(cd) @ gru0_rest["w_hh"] + gru0_rest["b_hh"]
-        r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
-        z = jax.nn.sigmoid(gi[..., H : 2 * H] + gh[..., H : 2 * H])
-        n = jnp.tanh(gi[..., 2 * H :] + r * gh[..., 2 * H :])
-        h1 = (1.0 - z) * n + z * h[0].astype(cd)
-        # GRU layer 1
-        h2 = L.gru_cell(gru1, h1, h[1].astype(cd))
-        out = (h2 @ w_out + b_out).astype(jnp.float32)
+        if quantize_int8:
+            pose_q = _qa(pose)
+            hidden = jax.nn.elu(pre_l0_t.astype(jnp.float32) + _qdot(pose_q, q_w0_pose))
+            hid_q = _qa(hidden)
+            gi = pre_g0_t.astype(jnp.float32) + _qdot(hid_q, q_wg_h) + _qdot(pose_q, q_wg_pose)
+            gh = _qdot(_qa(h[0]), q_g0_whh) + b_g0_hh
+            r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
+            z = jax.nn.sigmoid(gi[..., H : 2 * H] + gh[..., H : 2 * H])
+            n = jnp.tanh(gi[..., 2 * H :] + r * gh[..., 2 * H :])
+            h1 = (1.0 - z) * n + z * h[0].astype(jnp.float32)
+            gi1 = _qdot(_qa(h1), q_g1_wih) + b_g1_ih
+            gh1 = _qdot(_qa(h[1]), q_g1_whh) + b_g1_hh
+            r1 = jax.nn.sigmoid(gi1[..., :H] + gh1[..., :H])
+            z1 = jax.nn.sigmoid(gi1[..., H : 2 * H] + gh1[..., H : 2 * H])
+            n1 = jnp.tanh(gi1[..., 2 * H :] + r1 * gh1[..., 2 * H :])
+            h2 = (1.0 - z1) * n1 + z1 * h[1].astype(jnp.float32)
+            out = _qdot(_qa(h2), q_w_out) + b_out.astype(jnp.float32)
+        else:
+            pose_c = pose.astype(cd)
+            hidden = jax.nn.elu(pre_l0_t + pose_c @ w0_pose)
+            gi = pre_g0_t + hidden @ wg_h + pose_c @ wg_pose
+            # GRU layer 0 (input projection precomputed above)
+            gh = h[0].astype(cd) @ gru0_rest["w_hh"] + gru0_rest["b_hh"]
+            r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
+            z = jax.nn.sigmoid(gi[..., H : 2 * H] + gh[..., H : 2 * H])
+            n = jnp.tanh(gi[..., 2 * H :] + r * gh[..., 2 * H :])
+            h1 = (1.0 - z) * n + z * h[0].astype(cd)
+            # GRU layer 1
+            h2 = L.gru_cell(gru1, h1, h[1].astype(cd))
+            out = (h2 @ w_out + b_out).astype(jnp.float32)
         new = P.devectorize_output(out, rp, rr, njoints, dt, mean_out, std_out)
         nrp, nrr, nrv, nrw, njp, njt, njv, njw = new
         new_h = jnp.stack([h1.astype(jnp.float32), h2.astype(jnp.float32)])
@@ -271,6 +327,7 @@ def rollout(
     unroll=1,
     remat=False,
     output_indices=None,
+    quantize_int8=False,
 ):
     """Autoregressive rollout.
 
@@ -280,8 +337,13 @@ def rollout(
 
     Returns the 8 stacked trajectories (B, T, ...) with frame 0 equal to the
     inputs, exactly like the reference (modules.py:72-162).
+
+    quantize_int8 (inference only, 'normal' cell): run the in-step matmuls
+    as int8 x int8 -> int32 on the MXU (2x bf16 peak) with per-column
+    weight scales + dynamic per-row activation quantization.
     """
     if rnn_cond != "normal":
+        assert not quantize_int8, "int8 path supports the 'normal' cell only"
         return _rollout_film(
             params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel,
             lvrt, gaze_pos, speech_encoding, style_encoding, anim_input_mean,
@@ -300,7 +362,7 @@ def rollout(
         style_encoding[:, 1:], anim_input_mean, anim_input_std,
         anim_output_mean, anim_output_std, dt, num_rnn_layers=num_rnn_layers,
         compute_dtype=compute_dtype, unroll=unroll, remat=remat,
-        output_indices=output_indices,
+        output_indices=output_indices, quantize_int8=quantize_int8,
     )
 
     def stack(first, rest):

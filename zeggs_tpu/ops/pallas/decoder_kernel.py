@@ -248,10 +248,13 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
     # VMEM.
     bytes_per = 1 if quantized else 2
     slot_bytes = rows_max * CHUNK * bytes_per
+    # measured on v5e (full v1 model, int8): 11 MB -> 11.64 ms, 12 MB ->
+    # 10.37 ms per 10 s clip; 13 MB exceeds the 16 MB scoped-vmem limit
+    # (16.54 MB total with the ring + row tiles)
     budget = int(
         os.environ.get(
             "ZEGGS_FUSED_RESIDENT_BYTES",
-            str(11_000_000 if quantized else 8_000_000),
+            str(12_000_000 if quantized else 8_000_000),
         )
     )
     n_res = min(n_chunks - 2, max(0, budget // slot_bytes))
