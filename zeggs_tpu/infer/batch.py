@@ -110,6 +110,10 @@ def generate_batch(
     results_path = Path(results_path)
     results_path.mkdir(parents=True, exist_ok=True)
 
+    # prep stays SERIAL deliberately: threading it was measured 0.45 s
+    # WORSE on the 20-clip bench — _prepare's jitted style encodes contend
+    # on the serialized device queue and disrupt the downstream dispatch
+    # pipelining, outweighing the numpy featurization overlap
     prepared = [(req, *_prepare(pipe, req)) for req in requests]
 
     # Pull everything host-side batch assembly needs in ONE batched

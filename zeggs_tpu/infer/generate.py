@@ -203,9 +203,13 @@ class GesturePipeline:
                         # inference consumes (root_pos, root_rot, lpos, ltxy);
                         # selecting here halves rollout HBM for large batches
                         output_indices=(0, 1, 4, 5),
-                        # ZEGGS_FUSED_INT8 quantizes the batched path too
-                        # (+28% throughput, pose MAE 3-5e-4 vs fp32)
-                        quantize_int8=self._quantize_batched,
+                        # ZEGGS_FUSED_INT8 quantizes the batched path too,
+                        # but only at large batch: +28% at B=2048, measured
+                        # WORSE at B<=32 (latency-bound steps; the per-step
+                        # activation-quant VPU work isn't amortized)
+                        quantize_int8=(
+                            self._quantize_batched and speech_enc.shape[0] >= 256
+                        ),
                     )
                 # rot6d -> quaternion ON DEVICE: BVH export needs quats, and
                 # converting here (a) fuses into the rollout program, (b)
