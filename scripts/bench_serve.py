@@ -159,10 +159,15 @@ def main(argv=None):
     written = generate_batch(pipe, requests, out_b, bucket=256, max_batch=32)
     makespan = time.perf_counter() - t0
     assert len(written) == len(requests)
-    # warm run (compiles cached): the steady-state serving number
-    t0 = time.perf_counter()
-    generate_batch(pipe, requests, out_b, bucket=256, max_batch=32)
-    makespan_warm = time.perf_counter() - t0
+    # warm runs (compiles cached): per-dispatch tunnel overhead is VARIABLE
+    # (25-70 ms) so a single warm makespan is +-0.5 s noisy — report the
+    # median of three
+    warm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        generate_batch(pipe, requests, out_b, bucket=256, max_batch=32)
+        warm.append(time.perf_counter() - t0)
+    makespan_warm = float(np.median(warm))
 
     result = {
         "n_requests": len(requests),

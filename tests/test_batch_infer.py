@@ -138,3 +138,29 @@ def test_generate_batch_pipelined_many_chunks(corpus):
     # identical request content except seed: deterministic temperature=0 ->
     # byte-identical motion (seed only affects stochastic style sampling)
     np.testing.assert_allclose(ref["rotations"], dup["rotations"], atol=1e-4)
+
+
+def test_generate_batch_matches_single_stochastic(corpus):
+    """Stochastic style sampling (temperature > 0): the batched style
+    encoder must reproduce the single path's per-request eps draws bit for
+    bit, so batch == single even with VAE sampling on."""
+    data_dir, net_dir, clips, opts = corpus
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+
+    single_dir = data_dir.parent / "single_stoch"
+    generate_gesture(
+        audio_file=clips[0][1], styles=[(clips[1][0], None)],
+        network_path=net_dir, data_path=data_dir, results_path=single_dir,
+        temperature=0.7, seed=11, file_name="st", pipeline=pipe,
+    )
+    batch_dir = data_dir.parent / "batch_stoch"
+    generate_batch(
+        pipe,
+        [Request(audio=clips[0][1], styles=[(clips[1][0], None)],
+                 file_name="st", temperature=0.7, seed=11)],
+        batch_dir, bucket=64,
+    )
+    a = bvh.load(single_dir / "st.bvh")
+    b = bvh.load(batch_dir / "st.bvh")
+    np.testing.assert_allclose(a["rotations"], b["rotations"], atol=2e-3)
+    np.testing.assert_allclose(a["positions"], b["positions"], atol=2e-3)

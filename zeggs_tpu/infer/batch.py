@@ -46,52 +46,59 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def _prepare(pipe, req: Request):
-    """Host+device prep for one request: features, encodings, first pose."""
+def _prepare_host(pipe, req: Request):
+    """Host-only prep for one request: audio features, style-encode JOBS
+    (deferred to one batched device call), first pose. No tunnel
+    dispatches — the per-request PRNG key derivation runs on the host CPU
+    backend and reproduces the single-clip path's split sequence exactly."""
+    from ..utils import host_cpu
+
     audio_features, n_frames = pipe.audio_to_features(req.audio)
-    rng = jax.random.PRNGKey(req.seed)
 
-    encodings = []
+    specs = []  # ("job", local_index) | ("const", (1, C) np)
+    jobs = []  # (vec, temperature, key) for encode_styles_batch
     feats = None
-    for style in req.styles:
-        if isinstance(style, (tuple, list)) and isinstance(style[0], (str, Path)):
-            vec, feats = pipe.style_example_from_bvh(style[0], style[1])
-            rng, sub = jax.random.split(rng)
-            emb, _, _ = pipe.encode_style(vec, req.temperature, sub)
-            encodings.append(emb)
-        elif isinstance(style, np.ndarray):
-            encodings.append(jnp.asarray(style, jnp.float32)[None])
-        else:  # label
-            encodings.append(pipe.label_encoding(style))
-    if len(encodings) > 1:
-        if req.blend_type == "stitch":
-            # per-frame transitions (generate.py:280-298): each style owns a
-            # contiguous share of the clip; returns (1, n_frames, C)
-            from ..utils import split_by_ratio
+    with host_cpu():
+        rng = jax.random.PRNGKey(req.seed)
+        for style in req.styles:
+            if isinstance(style, (tuple, list)) and isinstance(style[0], (str, Path)):
+                vec, feats = pipe.style_example_from_bvh(style[0], style[1])
+                rng, sub = jax.random.split(rng)
+                jobs.append((np.asarray(vec), req.temperature, np.asarray(sub)))
+                specs.append(("job", len(jobs) - 1))
+            elif isinstance(style, np.ndarray):
+                specs.append(("const", np.asarray(style, np.float32)[None]))
+            else:  # label
+                specs.append(("const", np.asarray(pipe.label_encoding(style))))
 
-            spans = split_by_ratio(n_frames, list(req.blend_ratio))
-            parts = [
-                jnp.repeat(enc[:, None], span[1] - span[0], axis=1)
-                for enc, span in zip(encodings, spans)
-            ]
-            style_enc = jnp.concatenate(parts, axis=1)
-        else:
-            ratio = jnp.asarray(req.blend_ratio, jnp.float32)
-            style_enc = jnp.einsum(
-                "nbc,n->bc", jnp.concatenate([e[None] for e in encodings]), ratio
-            )
-    else:
-        style_enc = encodings[0]
+        if req.first_pose is not None:
+            from ..data import features as F
+            from ..io import bvh
 
-    if req.first_pose is not None:
-        from ..data import features as F
-        from ..io import bvh
-        from ..utils import host_cpu
-
-        with host_cpu():
             feats = F.preprocess_animation(bvh.load(req.first_pose))
     assert feats is not None, f"{req.file_name}: no first pose available"
-    return audio_features, n_frames, style_enc, feats
+    return audio_features, n_frames, specs, jobs, feats
+
+
+def _blend_host(req: Request, encodings, n_frames):
+    """Blend per-style (1, C) encodings on host (generate.py:280-308
+    semantics): returns (1, C) for "add" or (1, n_frames, C) for
+    "stitch"."""
+    if len(encodings) <= 1:
+        return np.asarray(encodings[0], np.float32)
+    if req.blend_type == "stitch":
+        from ..utils import split_by_ratio
+
+        spans = split_by_ratio(n_frames, list(req.blend_ratio))
+        parts = [
+            np.repeat(enc[:, None], span[1] - span[0], axis=1)
+            for enc, span in zip(encodings, spans)
+        ]
+        return np.concatenate(parts, axis=1)
+    ratio = np.asarray(req.blend_ratio, np.float32)
+    return np.einsum(
+        "nbc,n->bc", np.concatenate([e[None] for e in encodings]), ratio
+    )
 
 
 def generate_batch(
@@ -111,26 +118,41 @@ def generate_batch(
     results_path.mkdir(parents=True, exist_ok=True)
 
     # prep stays SERIAL deliberately: threading it was measured 0.45 s
-    # WORSE on the 20-clip bench — _prepare's jitted style encodes contend
-    # on the serialized device queue and disrupt the downstream dispatch
-    # pipelining, outweighing the numpy featurization overlap
-    prepared = [(req, *_prepare(pipe, req)) for req in requests]
+    # WORSE on the 20-clip bench (device-queue contention disrupted the
+    # downstream dispatch pipelining). It is host-only work: the style
+    # encodes are deferred into ONE batched jit call per length bucket
+    # below, instead of one tunnel dispatch per request.
+    host_prepped = [(req, *_prepare_host(pipe, req)) for req in requests]
 
-    # Pull everything host-side batch assembly needs in ONE batched
-    # transfer. A device->host pull through the tunnel costs ~0.27 s of
-    # latency EACH regardless of size (measured), so the per-item
-    # np.asarray calls this replaces cost ~9 s for a 20-clip workload.
+    all_jobs = []
+    offsets = []
+    for (_req, _af, _n, _specs, jobs, _fp) in host_prepped:
+        offsets.append(len(all_jobs))
+        all_jobs.extend(jobs)
+    encoded = pipe.encode_styles_batch(all_jobs)
+
+    # Pull anything device-resident for host-side batch assembly in ONE
+    # transfer (a pull through the tunnel costs ~0.27 s of latency EACH
+    # regardless of size; with the host-pinned featurizers this is
+    # normally a no-op).
     state_attrs = ("root_pos", "root_rot", "root_vel", "root_vrt",
                    "lpos", "ltxy", "lvel", "lvrt")
     pulled = jax.device_get([
-        (af, se, tuple(getattr(fp, a) for a in state_attrs), fp.gaze_pos)
-        for (req, af, n, se, fp) in prepared
+        (af, tuple(getattr(fp, a) for a in state_attrs), fp.gaze_pos)
+        for (req, af, n, specs, jobs, fp) in host_prepped
     ])
-    prepared = [
-        (req, np.asarray(af), n, np.asarray(se)[0],
-         tuple(np.asarray(s)[0] for s in st), np.asarray(gz)[0])
-        for ((req, _, n, _, _), (af, se, st, gz)) in zip(prepared, pulled)
-    ]
+    prepared = []
+    for ((req, _, n, specs, _, _), off, (af, st, gz)) in zip(
+        host_prepped, offsets, pulled
+    ):
+        encs = [
+            encoded[off + s[1]] if s[0] == "job" else s[1] for s in specs
+        ]
+        se = _blend_host(req, encs, n)
+        prepared.append(
+            (req, np.asarray(af), n, se[0],
+             tuple(np.asarray(s)[0] for s in st), np.asarray(gz)[0])
+        )
 
     # bucket by padded length
     buckets = {}

@@ -150,6 +150,28 @@ class GesturePipeline:
             lambda e, l: encode_style(e, l, 1.0, None, False)
         )
 
+        @jax.jit
+        def encode_styles_many(padded, lengths, temps, keys):
+            """Batched style encode reproducing the per-request single-path
+            draws bit for bit: apply() returns mu/logvar, and the
+            reparameterization eps is drawn per example from ITS key with
+            the same (1, C) shape the single path uses."""
+            x = (padded - stats["anim_input_mean"]) / stats["anim_input_std"]
+            enc, mu, logvar = style_encoder.apply(
+                nets["style_encoder"], x, lengths=lengths,
+                encoder_type=se_cfg.type, use_vae=se_cfg.use_vae,
+                style_embedding_size=se_cfg.style_encoding_size,
+                temperature=1.0, sample_rng=None,
+            )
+            if mu is None:  # no VAE head
+                return enc
+            C = mu.shape[-1]
+            std = jnp.exp(0.5 * logvar) / jnp.maximum(temps, 1e-9)[:, None]
+            eps = jax.vmap(lambda k: jax.random.normal(k, (1, C)))(keys)[:, 0]
+            return mu + jnp.where(temps[:, None] > 0.0, eps * std, 0.0)
+
+        self._encode_styles_many = encode_styles_many
+
     # -- loading ----------------------------------------------------------
 
     def _load_networks(self, network_path):
@@ -279,7 +301,48 @@ class GesturePipeline:
         idx = self.label_names.index(label)
         one_hot = np.zeros((1, len(self.label_names)), np.float32)
         one_hot[0, idx] = 1.0
-        return jnp.asarray(one_hot)
+        return one_hot  # host array; consumers upload (or stack) as needed
+
+    def encode_styles_batch(self, jobs):
+        """Encode many style examples in ONE jitted call per length bucket.
+
+        jobs: list of (vec (L, D) np, temperature, key (2,) uint32 np).
+        Returns a list of (1, C) np encodings, bit-equal to calling
+        `encode_style` per job (same masks, same per-key eps draws). The
+        serving path uses this to replace N tunnel dispatches with one
+        per length bucket."""
+        if not jobs:
+            return []
+        out = [None] * len(jobs)
+        buckets = {}
+        for i, (vec, _t, _k) in enumerate(jobs):
+            Lb = max(64, _round_up(vec.shape[0], 64))
+            buckets.setdefault(Lb, []).append(i)
+        staged = []
+        for Lb, idxs in sorted(buckets.items()):
+            N = len(idxs)
+            Np = max(8, 1 << (N - 1).bit_length())  # pow2: bounded jit cache
+            D = jobs[idxs[0]][0].shape[1]
+            padded = np.zeros((Np, Lb, D), np.float32)
+            lengths = np.ones((Np,), np.int32)
+            temps = np.zeros((Np,), np.float32)
+            keys = np.zeros((Np, 2), np.uint32)
+            for j, i in enumerate(idxs):
+                vec, t, k = jobs[i]
+                padded[j, : vec.shape[0]] = vec
+                lengths[j] = vec.shape[0]
+                temps[j] = t
+                keys[j] = k
+            emb = self._encode_styles_many(
+                jnp.asarray(padded), jnp.asarray(lengths),
+                jnp.asarray(temps), jnp.asarray(keys),
+            )
+            staged.append((idxs, emb))
+        pulled = jax.device_get([e for _, e in staged])
+        for (idxs, _), emb in zip(staged, pulled):
+            for j, i in enumerate(idxs):
+                out[i] = np.asarray(emb[j : j + 1])
+        return out
 
     # -- rollout ----------------------------------------------------------
 
