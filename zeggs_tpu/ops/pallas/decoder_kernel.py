@@ -44,7 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-CHUNK = 512  # max weight-chunk width (columns)
+# max weight-chunk width (columns); 512 measured best (1024 starves the
+# compute/DMA overlap 4x; see docs/DESIGN.md §6). Env override for A/B.
+CHUNK = int(os.environ.get("ZEGGS_FUSED_CHUNK", "512"))
 
 # interpret mode (CPU tests) rejects the HBM memory space; ANY emulates it
 _HBM = pltpu.MemorySpace.HBM if jax.default_backend() == "tpu" else pl.ANY
