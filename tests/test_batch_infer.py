@@ -164,3 +164,25 @@ def test_generate_batch_matches_single_stochastic(corpus):
     b = bvh.load(batch_dir / "st.bvh")
     np.testing.assert_allclose(a["rotations"], b["rotations"], atol=2e-3)
     np.testing.assert_allclose(a["positions"], b["positions"], atol=2e-3)
+
+
+def test_generate_batch_f16_transfer(corpus, monkeypatch):
+    """ZEGGS_TRANSFER_DTYPE=float16 halves device->host bytes; outputs
+    must track the fp32-transfer path within fp16 noise."""
+    data_dir, net_dir, clips, opts = corpus
+    monkeypatch.setenv("ZEGGS_TRANSFER_DTYPE", "float16")
+    pipe16 = GesturePipeline(net_dir, data_dir, options=opts)
+    out16 = data_dir.parent / "f16_results"
+    req = Request(audio=clips[0][1], styles=[(clips[1][0], None)],
+                  file_name="f16", temperature=0.0, seed=5)
+    generate_batch(pipe16, [req], out16, bucket=64)
+    a = bvh.load(data_dir.parent / "single_ref" / "ref.bvh")  # fp32 reference
+    b = bvh.load(out16 / "f16.bvh")
+    # fp16 mantissa ~1e-3 relative; compare angles modulo 360 (an epsilon
+    # across the +-180 seam prints as a ~360 deg jump), and allow a few
+    # degrees worst-case — Euler conversion amplifies quat noise near
+    # gimbal configurations (typical error is ~0.01 deg)
+    dr = (np.asarray(a["rotations"]) - np.asarray(b["rotations"]) + 180.0) % 360.0 - 180.0
+    assert np.abs(dr).max() < 3.0, np.abs(dr).max()
+    assert np.median(np.abs(dr)) < 0.05
+    np.testing.assert_allclose(a["positions"], b["positions"], atol=0.5)

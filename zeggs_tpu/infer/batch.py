@@ -189,7 +189,12 @@ def generate_batch(
             for chunk_start in range(0, len(items), max_batch):
                 chunk = items[chunk_start : chunk_start + max_batch]
                 B = len(chunk)
-                B_pad = _round_up(B, n_dev)
+                # batch buckets: next power of two (respecting the mesh),
+                # so partial tail chunks reuse compiled programs instead of
+                # compiling one per distinct B (minutes each on TPU)
+                B_pad = max(n_dev, 1 << (B - 1).bit_length())
+                B_pad = _round_up(min(B_pad, max_batch), n_dev)
+                B_pad = max(B_pad, _round_up(B, n_dev))
 
                 def stack_state(j):
                     arrs = [c[4][j] for c in chunk]

@@ -48,13 +48,18 @@ class GesturePipeline:
     """Loads networks + stats once and serves generation requests."""
 
     def __init__(self, network_path, data_path, options=None, style_encoding_type="example",
-                 fused_b1="auto"):
+                 fused_b1="auto", transfer_dtype=None):
         """fused_b1: use the whole-rollout fused Pallas kernel for B=1
         requests ("auto" = on TPU when the cell qualifies; True/False to
         force; "int8" = the quantized variant — half the weight-streaming
         bytes, int8 MXU dots, pose error ~1e-3 vs ~1e-4 for bf16; also
         selectable via ZEGGS_FUSED_INT8=1). Batched requests always take
-        the XLA scan path."""
+        the XLA scan path.
+
+        transfer_dtype: dtype for the rollout outputs pulled to host
+        ("float16" halves device->host bytes — the bottleneck for large
+        CSV batches through slow links — at ~1e-3 relative pose error;
+        default fp32; env ZEGGS_TRANSFER_DTYPE overrides)."""
         network_path = Path(network_path)
         data_path = Path(data_path)
         self.style_encoding_type = style_encoding_type
@@ -96,6 +101,10 @@ class GesturePipeline:
             fused_b1 == "int8"
             and jax.default_backend() == "tpu"
             and dec_cfg.rnn_cond == "normal"
+        )
+        transfer_dtype = transfer_dtype or _os.environ.get("ZEGGS_TRANSFER_DTYPE")
+        self._transfer_dtype = (
+            jnp.dtype(transfer_dtype) if transfer_dtype else None
         )
         if fused_b1 in ("auto", "int8"):
             supported = jax.default_backend() == "tpu" and decoder.fused_b1_supported(
@@ -239,7 +248,10 @@ class GesturePipeline:
                 # floats), (c) removes the per-clip host-CPU conversion that
                 # dominated serving writes (measured ~190 ms/clip -> ~45 ms)
                 lrot = quat.from_xform(xform.orthogonalize_from_xy(out[3]))
-                return out[:3] + (lrot,)
+                out = out[:3] + (lrot,)
+                if self._transfer_dtype is not None:
+                    out = tuple(o.astype(self._transfer_dtype) for o in out)
+                return out
 
             self._rollout_cache[n_frames] = fn
         return self._rollout_cache[n_frames]
@@ -398,8 +410,13 @@ class GesturePipeline:
         results_path = Path(results_path)
         results_path.mkdir(exist_ok=True, parents=True)
         # ONE batched pull for all four trajectories: serial np.asarray
-        # round-trips cost ~0.27 s each through the device tunnel
-        o_root_pos, o_root_rot, o_lpos, o_last = jax.device_get(rollout_out[:4])
+        # round-trips cost ~0.27 s each through the device tunnel. Upcast
+        # to fp32 on host — the re-anchoring/Euler math must not run in a
+        # reduced transfer dtype.
+        o_root_pos, o_root_rot, o_lpos, o_last = (
+            np.asarray(a, np.float32)
+            for a in jax.device_get(rollout_out[:4])
+        )
         if o_last.ndim == 5:  # (1, T, J, 2, 3) rot6d — convert on host
             with host_cpu():
                 lrot = _ltxy_to_quat(jnp.asarray(o_last))
