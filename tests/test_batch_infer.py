@@ -170,13 +170,16 @@ def test_generate_batch_f16_transfer(corpus, monkeypatch):
     """ZEGGS_TRANSFER_DTYPE=float16 halves device->host bytes; outputs
     must track the fp32-transfer path within fp16 noise."""
     data_dir, net_dir, clips, opts = corpus
+    req = Request(audio=clips[0][1], styles=[(clips[1][0], None)],
+                  file_name="f16", temperature=0.0, seed=5)
+    out32 = data_dir.parent / "f32_ref_results"
+    generate_batch(GesturePipeline(net_dir, data_dir, options=opts), [req], out32, bucket=64)
+
     monkeypatch.setenv("ZEGGS_TRANSFER_DTYPE", "float16")
     pipe16 = GesturePipeline(net_dir, data_dir, options=opts)
     out16 = data_dir.parent / "f16_results"
-    req = Request(audio=clips[0][1], styles=[(clips[1][0], None)],
-                  file_name="f16", temperature=0.0, seed=5)
     generate_batch(pipe16, [req], out16, bucket=64)
-    a = bvh.load(data_dir.parent / "single_ref" / "ref.bvh")  # fp32 reference
+    a = bvh.load(out32 / "f16.bvh")  # fp32-transfer reference
     b = bvh.load(out16 / "f16.bvh")
     # fp16 mantissa ~1e-3 relative; compare angles modulo 360 (an epsilon
     # across the +-180 seam prints as a ~360 deg jump), and allow a few
