@@ -172,7 +172,10 @@ def write_raw_corpus(root: Path, n_clips=3, seconds=4.0):
                 acting_end_time=f"00:00:{act_end_s:02d}:{act_end_f}",
                 style=LABELS[i % len(LABELS)],
                 anim_bvh=f"{name}.bvh",
-                validation="TRUE" if i == n_clips - 1 else "FALSE",
+                # the last clip is validation; a 1-clip corpus keeps its
+                # only clip in training (empty ranges_train is an error in
+                # compute_stats)
+                validation="TRUE" if (n_clips > 1 and i == n_clips - 1) else "FALSE",
             )
         )
     import csv as _csv

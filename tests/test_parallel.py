@@ -10,7 +10,6 @@ from jax.sharding import PartitionSpec as P
 from zeggs_tpu.parallel import (
     batch_sharding,
     create_mesh,
-    pad_batch_to_devices,
     replicated,
     shard_batch,
 )
@@ -33,13 +32,6 @@ def test_shard_batch_places_arrays():
     dev = shard_batch(batch, mesh)
     assert dev["x"].sharding.spec == P("data")
     np.testing.assert_array_equal(np.asarray(dev["x"]), batch["x"])
-
-
-def test_pad_batch_to_devices():
-    batch = {"x": np.ones((5, 3))}
-    padded = pad_batch_to_devices(batch, 4)
-    assert padded["x"].shape == (8, 3)
-    np.testing.assert_array_equal(padded["x"][5:], np.ones((3, 3)))
 
 
 def test_single_process_distributed_helpers():

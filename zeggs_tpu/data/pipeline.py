@@ -210,6 +210,14 @@ def compute_stats(processed, ranges_train):
     mask = np.zeros(len(processed["audio_features"]), dtype=bool)
     for s, e in ranges_train:
         mask[s + 2 : e - 2] = True
+    if not mask.any():
+        # without this, np.mean over the empty selection writes NaN stats
+        # that silently poison every downstream normalization
+        raise ValueError(
+            "compute_stats: no training frames — every clip is marked "
+            "validation (or ranges are degenerate); cannot compute corpus "
+            "statistics"
+        )
 
     def flat(k):
         x = processed[k][mask]

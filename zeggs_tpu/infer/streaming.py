@@ -75,6 +75,14 @@ class _MelStream:
 
     def __init__(self, cfg: mel.MelConfig, gain=1.0):
         assert cfg.centered, "streaming mel requires the reference's centered STFT"
+        # total_frames() reproduces the offline drop-a-frame condition
+        # ((max(N, nfft) + nfft) % hop == 0) via max(N, nfft) % hop == 0 —
+        # equivalent only when nfft is a hop multiple; reject configs where
+        # the two conventions would diverge instead of miscounting frames.
+        assert cfg.filter_length % cfg.hop_length == 0, (
+            "streaming mel requires filter_length % hop_length == 0 "
+            f"(got {cfg.filter_length} % {cfg.hop_length})"
+        )
         self.cfg = cfg
         self.gain = float(gain)
         self.nfft = cfg.filter_length
@@ -524,12 +532,17 @@ class StreamingSession:
         frames = self._out[before:]
         keys = ("root_pos", "root_rot", "lpos", "ltxy")
         if not frames:
-            return {k: np.zeros((0,), np.float32) for k in keys}
+            J = self.pipe.njoints
+            tails = {"root_pos": (3,), "root_rot": (4,), "lpos": (J, 3), "ltxy": (J, 2, 3)}
+            return {k: np.zeros((0,) + tails[k], np.float32) for k in keys}
         return {k: np.concatenate([f[k] for f in frames]) for k in keys}
 
     def result(self):
-        """Stacked (1, T, ...) trajectories (root_pos, root_rot, lpos, ltxy),
-        same layout as GesturePipeline.rollout's output."""
+        """Stacked (1, T, ...) trajectories: root_pos (1,T,3), root_rot
+        (1,T,4), lpos (1,T,J,3) and rot6d ltxy (1,T,J,2,3). Note
+        GesturePipeline.rollout returns device-converted quaternions for the
+        joint rotations instead of ltxy; write_result accepts both layouts
+        (ndim dispatch), so both feed write_bvh identically."""
         full = self._collect(0)
         return tuple(jnp.asarray(full[k])[None] for k in ("root_pos", "root_rot", "lpos", "ltxy"))
 

@@ -259,7 +259,7 @@ def _build_kernel(pose_in, pose_out, H, dt, quantized=False):
             str(12_000_000 if quantized else 8_000_000),
         )
     )
-    n_res = min(n_chunks - 2, max(0, budget // slot_bytes))
+    n_res = max(0, min(n_chunks - 2, budget // slot_bytes))
 
     # pipeline depth: must divide the STREAMED chunk count so slot
     # assignment stays consistent when prefetch wraps into the next grid

@@ -5,7 +5,6 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     create_mesh,
     create_mesh_for_batch,
-    pad_batch_to_devices,
     replicated,
     shard_batch,
 )

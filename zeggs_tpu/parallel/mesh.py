@@ -43,20 +43,6 @@ def shard_batch(batch, mesh, axis_name="data"):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
-def pad_batch_to_devices(batch, n_devices):
-    """Pad the leading axis of every array to a multiple of n_devices by
-    repeating the last element (keeps shapes static across steps)."""
-
-    def pad(x):
-        b = x.shape[0]
-        rem = (-b) % n_devices
-        if rem == 0:
-            return x
-        return np.concatenate([x, np.repeat(x[-1:], rem, axis=0)], axis=0)
-
-    return jax.tree.map(pad, batch)
-
-
 def create_mesh_for_batch(batch_size, axis_name="data", devices=None):
     """Mesh over the most devices that evenly divide ``batch_size`` — small
     debug batches shouldn't crash on a large slice."""
