@@ -102,12 +102,77 @@ def import_reference():
         raise ImportError("unexpected 'modules' module shadows the reference")
     import data_pipeline as ref_data_pipeline  # noqa: E402
     import generate as ref_generate  # noqa: E402
+    import optimizers as ref_optimizers  # noqa: E402
     import utils as ref_utils  # noqa: E402
     from audio import spectrograms as ref_spectrograms  # noqa: E402
 
     ns.modules = ref_modules
     ns.data_pipeline = ref_data_pipeline
     ns.generate = ref_generate
+    ns.optimizers = ref_optimizers
     ns.utils = ref_utils
     ns.spectrograms = ref_spectrograms
     return ns
+
+
+_LOSS_BLOCK_START = "# Compute Character/World Space"
+_LOSS_BLOCK_END = "# Backward"
+
+_LOSS_TERMS = (
+    "loss_root_pos", "loss_root_rot", "loss_root_vel", "loss_root_vrt",
+    "loss_lpos", "loss_lrot", "loss_lvel", "loss_lvrt",
+    "loss_cpos", "loss_crot", "loss_cvel", "loss_cvrt",
+    "loss_ldvl", "loss_ldvt", "loss_cdvl", "loss_cdvt",
+    "loss_gaze", "loss_kl_div",
+)
+
+
+def run_reference_loss_block(ref, O, W, gaze_pos, parents, dt, mu, logvar, iteration):
+    """Execute the GENUINE training-loss source of the reference —
+    the world-space reconstruction + 18-term block at train.py:276-421 —
+    character for character, on the given torch tensors.
+
+    The block is inline inside ``train()`` so it cannot be called as a
+    function; instead the exact source lines between the reference's own
+    section markers are extracted, dedented, and exec'd in a namespace
+    providing the same names train.py imports (``from anim.tquat import *``,
+    ``from anim.txform import *``, ``modules.normalize`` /
+    ``compute_KL_div``). Returns (loss tensor, {term_name: tensor}).
+
+    O / W: dicts with keys root_pos, root_rot, root_vel, root_vrt, lpos,
+    ltxy, lvel, lvrt holding (B, T, ...) torch tensors (outputs / ground
+    truth); gradients flow through O.
+    """
+    import textwrap
+
+    import anim.tquat as ref_tquat  # noqa: E402 — reference sys.path
+    import anim.txform as ref_txform  # noqa: E402
+    import torch
+
+    src = (REFERENCE_ROOT / "train.py").read_text().splitlines()
+    start = next(i for i, l in enumerate(src) if _LOSS_BLOCK_START in l)
+    end = next(i for i, l in enumerate(src) if l.strip() == _LOSS_BLOCK_END)
+    block = textwrap.dedent("\n".join(src[start:end]))
+    code = compile(block, str(REFERENCE_ROOT / "train.py"), "exec")
+
+    ns = {}
+    ns.update({k: v for k, v in vars(ref_tquat).items() if not k.startswith("_")})
+    ns.update({k: v for k, v in vars(ref_txform).items() if not k.startswith("_")})
+    ns.update(
+        torch=torch,
+        normalize=ref.modules.normalize,
+        compute_KL_div=ref.modules.compute_KL_div,
+        parents=parents,
+        dt=dt,
+        mu=mu,
+        logvar=logvar,
+        iteration=iteration,
+        W_gaze_pos=gaze_pos,
+    )
+    for k, v in O.items():
+        ns[f"O_{k}"] = v
+    for k, v in W.items():
+        ns[f"W_{k}"] = v
+    exec(code, ns)
+    terms = {k: ns[k] for k in _LOSS_TERMS}
+    return ns["loss"], terms

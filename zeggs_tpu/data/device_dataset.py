@@ -94,7 +94,7 @@ class DeviceCorpus:
         return batch
 
 
-def make_device_train_step(opts, stats, parents, dt, corpus: DeviceCorpus, nlabels, mesh=None):
+def make_device_train_step(opts, stats, parents, dt, corpus: DeviceCorpus, nlabels, mesh=None, donate=True):
     """Train step with the batch gathered on device inside the jit.
 
     step(params, opt_state, window_starts, ex_idx, ex_lengths | labels,
@@ -121,7 +121,7 @@ def make_device_train_step(opts, stats, parents, dt, corpus: DeviceCorpus, nlabe
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    kwargs = {"donate_argnums": (0, 1)}
+    kwargs = {"donate_argnums": (0, 1)} if donate else {}
     if mesh is not None:
         rep = replicated(mesh)
         data = batch_sharding(mesh)

@@ -73,15 +73,21 @@ def make_optimizer(opts: Options):
     return radam_lib.radam(schedule, eps=opts.train.eps)
 
 
-def make_loss_fn(opts: Options, stats, parents, dt):
+def make_loss_fn(opts: Options, stats, parents, dt, deterministic=False):
+    """``deterministic=True`` disables dropout and VAE sampling (style =
+    mu) so the loss value is reproducible — used by the training-path
+    oracle parity tests; training uses the default stochastic path."""
     net = opts.net
     style_type = opts.train.style_encoding_type
     stats = {k: jnp.asarray(np.asarray(v, np.float32)) for k, v in stats.items()}
+    train_mode = not deterministic
 
     def loss_fn(params, batch, iteration, rng):
         r_speech, r_style, r_vae = jax.random.split(rng, 3)
         audio = (batch["audio_features"] - stats["audio_input_mean"]) / stats["audio_input_std"]
-        speech = speech_encoder.apply(params["speech_encoder"], audio, train=True, rng=r_speech)
+        speech = speech_encoder.apply(
+            params["speech_encoder"], audio, train=train_mode, rng=r_speech
+        )
 
         mu = logvar = None
         if style_type == "example":
@@ -92,7 +98,8 @@ def make_loss_fn(opts: Options, stats, parents, dt):
                 encoder_type=net.style_encoder.type,
                 use_vae=net.style_encoder.use_vae,
                 style_embedding_size=net.style_encoder.style_encoding_size,
-                train=True, rng=r_style, sample_rng=r_vae,
+                train=train_mode, rng=r_style,
+                sample_rng=None if deterministic else r_vae,
             )
         else:
             style = batch["style"]
