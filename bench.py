@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -135,6 +136,60 @@ def main():
                         chain=10, fused_dtype=jnp.int8)
         print(f"# p50 latency per 10s clip (B=1, int8 fused): {lat8:.3f}s", file=sys.stderr)
 
+    # COLD single-request dispatch latency (chain=1): what one unchained
+    # B=1 request actually costs end to end through this environment's
+    # dispatch path (includes the variable 25-70 ms tunnel overhead —
+    # p50/p99 over individual dispatches, not an amortized chain)
+    lat_cold = lat_cold_p99 = None
+    if on_tpu:
+        opts_c = C.Options()
+        key = jax.random.PRNGKey(0)
+        dims = dict(num_audio_features=AUDIO_DIM, pose_input_size=POSE_IN, pose_output_size=POSE_OUT)
+        params_c = init_networks(key, opts_c, dims, nlabels=19)
+        stats_c = {k: jnp.asarray(v) for k, v in _stats().items()}
+        rng = np.random.default_rng(1)
+        T = int(seconds * 60)
+        st0 = _initial_state(rng, 1, NJOINTS)
+        a1 = jnp.asarray(rng.normal(size=(1, T, AUDIO_DIM)).astype(np.float32))
+        g1 = jnp.asarray(rng.normal(size=(1, T, 3)).astype(np.float32))
+        s1 = jnp.asarray(rng.normal(size=(1, T, 64)).astype(np.float32))
+        fn1 = make_synthesis_fn(params_c, stats_c, dtype, fused_b1=True, chain=1)
+        jax.block_until_ready(fn1(a1, g1, s1, st0))  # compile
+        ts = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn1(a1, g1, s1, st0))
+            ts.append(time.perf_counter() - t0)
+        lat_cold = float(np.percentile(ts, 50))
+        lat_cold_p99 = float(np.percentile(ts, 99))
+        print(f"# unchained B=1 dispatch latency: p50 {lat_cold*1e3:.1f} ms, "
+              f"p99 {lat_cold_p99*1e3:.1f} ms", file=sys.stderr)
+
+    # training throughput (device-resident corpus, full v1 dims, batch 32 x
+    # 256 frames) — regresses the it/s headline in docs/DESIGN.md §3b
+    train_res = None
+    if on_tpu and os.environ.get("ZEGGS_BENCH_TRAIN", "1") != "0":
+        try:
+            from scripts.device_train_bench import run as train_bench_run
+
+            train_res = train_bench_run(
+                compute_dtype="float32", n_iters=5,
+                log=lambda *a, **k: print(*a, file=sys.stderr, **k),
+            )
+        except Exception as e:
+            print(f"# train bench failed: {e}", file=sys.stderr)
+
+    # end-to-end serving (20-clip CSV replay: featurization + rollouts +
+    # BVH writes; batched makespan + sequential p50/p99)
+    serve_res = None
+    if on_tpu and os.environ.get("ZEGGS_BENCH_SERVE", "1") != "0":
+        try:
+            from scripts.bench_serve import main as serve_main
+
+            serve_res = serve_main(["--requests", "20"], quiet=True)
+        except Exception as e:
+            print(f"# serve bench failed: {e}", file=sys.stderr)
+
     baseline = 20 * 60.0  # 20x realtime per chip
     print(
         json.dumps(
@@ -147,6 +202,16 @@ def main():
                     "b1_latency_10s_clip_ms": round(lat * 1e3, 1),
                     **({"b1_latency_int8_ms": round(lat8 * 1e3, 1)} if lat8 else {}),
                     **({"batched_int8_fps": round(fps8, 1)} if fps8 else {}),
+                    **(
+                        {
+                            "b1_dispatch_p50_ms": round(lat_cold * 1e3, 1),
+                            "b1_dispatch_p99_ms": round(lat_cold_p99 * 1e3, 1),
+                        }
+                        if lat_cold
+                        else {}
+                    ),
+                    **({"train": train_res} if train_res else {}),
+                    **({"serve": serve_res} if serve_res else {}),
                 },
             }
         )

@@ -142,7 +142,7 @@ def build_corpus(root: Path, n_requests=20, seed=0):
     return net_dir, data_dir, requests, total_frames, opts
 
 
-def main(argv=None):
+def main(argv=None, quiet=False):
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=20)
     ap.add_argument("--root", type=str, default="/tmp/zeggs_serve_bench")
@@ -197,9 +197,11 @@ def main(argv=None):
         lat = np.asarray(lat)
         result["seq_p50_s"] = round(float(np.percentile(lat, 50)), 3)
         result["seq_p95_s"] = round(float(np.percentile(lat, 95)), 3)
+        result["seq_p99_s"] = round(float(np.percentile(lat, 99)), 3)
         result["seq_clips_per_s"] = round(len(lat) / float(lat.sum()), 3)
 
-    print(json.dumps(result))
+    if not quiet:
+        print(json.dumps(result))
     return result
 
 

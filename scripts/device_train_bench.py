@@ -51,7 +51,9 @@ class _FakeDS:
         self.ranges_train = np.array([[0, n_frames]], np.int32)
 
 
-def main(compute_dtype="float32", remat=False):
+def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print):
+    """Time the device-resident-corpus train step at full v1 dimensions.
+    Returns {"step_ms", "it_s", "frames_per_s"} (median of n_iters)."""
     opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, remat=remat))
     ds = _FakeDS()
     corpus = DeviceCorpus.__new__(DeviceCorpus)
@@ -72,7 +74,7 @@ def main(compute_dtype="float32", remat=False):
     key = jax.random.PRNGKey(0)
 
     def one(i):
-        idx = rng.integers(0, len(ds.window_starts), size=32)
+        idx = rng.integers(0, len(ds.window_starts), size=batchsize)
         starts, ex_idx, ex_len = corpus.sample_indices(idx, 2 * rng.integers(128, 257))
         return step(
             params_s, opt_s, jnp.asarray(starts), jnp.asarray(ex_idx),
@@ -80,19 +82,28 @@ def main(compute_dtype="float32", remat=False):
         )
 
     params_s, opt_s = params, opt_state
-    print("compiling device train step...", flush=True)
+    log("compiling device train step...", flush=True)
     t0 = time.time()
     params_s, opt_s, m = one(0)
     jax.block_until_ready(m["total_loss"])
-    print(f"compile+first: {time.time() - t0:.1f}s loss={float(m['total_loss']):.4f}", flush=True)
+    log(f"compile+first: {time.time() - t0:.1f}s loss={float(m['total_loss']):.4f}", flush=True)
     ts = []
-    for i in range(6):
+    for i in range(n_iters):
         t0 = time.perf_counter()
         params_s, opt_s, m = one(i + 1)
         jax.block_until_ready(m["total_loss"])
         ts.append(time.perf_counter() - t0)
     t = float(np.median(ts))
-    print(f"device-corpus train step: {t*1000:.0f} ms -> {1/t:.1f} it/s; 160k iters = {160000*t/3600:.1f} h", flush=True)
+    log(f"device-corpus train step: {t*1000:.0f} ms -> {1/t:.1f} it/s; 160k iters = {160000*t/3600:.1f} h", flush=True)
+    return {
+        "step_ms": round(t * 1e3, 1),
+        "it_s": round(1.0 / t, 2),
+        "frames_per_s": round(batchsize * ds.window / t, 1),
+    }
+
+
+def main(compute_dtype="float32", remat=False):
+    run(compute_dtype=compute_dtype, remat=remat)
     print("DEVBENCH_DONE")
 
 

@@ -11,6 +11,7 @@ reference's decoder checkpoint is not distributed (LFS stub).
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -18,6 +19,8 @@ import jax.numpy as jnp
 
 from zeggs_tpu.io import torch_compat as tc
 from zeggs_tpu.models import decoder as dec
+
+pytestmark = pytest.mark.oracle
 
 torch.manual_seed(1)
 RNG = np.random.default_rng(7)

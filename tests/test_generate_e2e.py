@@ -7,6 +7,8 @@ from zeggs_tpu.infer import GesturePipeline, generate_gesture
 from zeggs_tpu.io import bvh
 from tests.synthetic import write_corpus, LABELS
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

@@ -1,5 +1,6 @@
 """BVH / WAV / checkpoint round-trip tests."""
 
+from pathlib import Path
 import numpy as np
 
 from zeggs_tpu.io import bvh, checkpoint, wav
@@ -103,3 +104,56 @@ def test_native_parser_matches_numpy():
     body = native.format_float_matrix(np.asarray(out, np.float32))
     out2 = native.parse_float_matrix(body)
     np.testing.assert_allclose(out2, out, atol=1e-6)
+
+
+def test_trim_silence_semantics():
+    fs = 16000
+    rng = np.random.default_rng(0)
+    tone = 0.5 * np.sin(2 * np.pi * 220 * np.arange(fs) / fs).astype(np.float32)
+    x = np.concatenate([np.zeros(fs // 2, np.float32), tone, np.zeros(fs // 4, np.float32)])
+    y = wav.trim_silence(x, fs, silence_threshold=0.1, min_silence_duration=0.01)
+    buf = int(0.01 * fs)
+    # head/tail silence removed but one min_silence_duration buffer kept
+    # (+-4 samples: the tone's own zero-crossings at its edges)
+    assert abs((len(x) - len(y)) - ((fs // 2 - buf) + (fs // 4 - buf))) <= 4
+    assert np.abs(y).max() == np.abs(x).max()
+    # all-silent input trims to empty
+    assert len(wav.trim_silence(np.zeros(1000, np.float32), fs)) == 0
+
+
+def test_reformat_and_trim_wav_file(tmp_path):
+    """audio_files.py:10-85 semantics, no sox binary: trim + resample +
+    bit depth/channels + 0.01 s silence pads, overwrite-in-place."""
+    fs_in, fs_out = 44100, 16000
+    t = np.arange(int(0.5 * fs_in)) / fs_in
+    tone = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    x = np.concatenate([np.zeros(fs_in // 5, np.float32), tone, np.zeros(fs_in // 5, np.float32)])
+    p = tmp_path / "clip.wav"
+    wav.write_wavefile(p, x, fs_in)
+
+    out = wav.reformat_and_trim_wav_file(p, fs_out, 16, 1, overwrite=True)
+    assert out == str(p)
+    fs2, y = wav.read_wavfile(p, rescale=True)
+    assert fs2 == fs_out
+    pad = int(0.01 * fs_out)
+    # silence pads present at both ends
+    assert np.abs(y[:pad]).max() < 1e-3 and np.abs(y[-pad:]).max() < 1e-3
+    # duration ~= tone + buffers + pads, not the original silences
+    expect = 0.5 + 2 * 0.01 + 2 * 0.01
+    assert abs(len(y) / fs_out - expect) < 0.02
+    assert np.abs(y).max() > 0.3
+
+    # non-overwrite mode writes into processed_<fs>/
+    wav.write_wavefile(p, x, fs_in)
+    out2 = wav.reformat_and_trim_wav_file(p, fs_out, 16, 1, overwrite=False)
+    assert Path(out2).parent.name == f"processed_{fs_out}" and Path(out2).exists()
+
+
+def test_compute_stats_rejects_empty_training_ranges():
+    import pytest
+
+    from zeggs_tpu.data.pipeline import compute_stats
+
+    processed = {"audio_features": np.zeros((100, 81), np.float32)}
+    with pytest.raises(ValueError, match="no training frames"):
+        compute_stats(processed, np.zeros((0, 2), np.int64))

@@ -20,6 +20,8 @@ from zeggs_tpu.models import pose as P
 from zeggs_tpu.models import speech_encoder as se
 from zeggs_tpu.models import style_encoder as ste
 
+pytestmark = pytest.mark.oracle
+
 torch.manual_seed(0)
 RNG = np.random.default_rng(2)
 

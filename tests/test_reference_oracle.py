@@ -33,6 +33,8 @@ from zeggs_tpu.io.torch_compat import (  # noqa: E402
     convert_style_encoder,
 )
 
+pytestmark = pytest.mark.oracle
+
 # temperature -> infinity makes the VAE head deterministic (std =
 # exp(0.5 logvar)/temperature, modules.py:297-300); RNG streams differ
 # between torch and jax so stochastic parity is impossible by construction

@@ -26,6 +26,8 @@ from zeggs_tpu.io import checkpoint
 from zeggs_tpu.models import decoder as dec_mod
 from zeggs_tpu.train.loop import init_networks
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

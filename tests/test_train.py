@@ -24,6 +24,8 @@ from tests.synthetic import (
     write_raw_corpus,
 )
 
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------------------
 # RAdam

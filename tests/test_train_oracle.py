@@ -42,6 +42,8 @@ from zeggs_tpu.io.torch_compat import (  # noqa: E402
 )
 from zeggs_tpu.train.loop import make_loss_fn, make_optimizer  # noqa: E402
 
+pytestmark = pytest.mark.oracle
+
 DETERMINISTIC_TEMPERATURE = 1e8
 ITERATION = 7000  # inside the KL anneal ramp: weight ~0.0759, not ~0
 EXAMPLE_LEN = 48

@@ -55,7 +55,17 @@ def main(argv=None):
         help="assemble batches on host instead of the device-resident corpus "
         "(for corpora larger than device HBM)",
     )
+    # multi-host launch (SURVEY.md §5): every process runs this CLI with the
+    # same options over a shared filesystem; see Trainer's multi-host contract
+    p.add_argument("--coordinator-address", type=str, default=None,
+                   help="jax.distributed coordinator, e.g. host0:1234")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args(argv)
+
+    from ..parallel.distributed import initialize as distributed_initialize
+
+    distributed_initialize(args.coordinator_address, args.num_processes, args.process_id)
 
     opts = Options.from_options_json(args.options)
     output_dir, models_dir, logs_dir = resolve_output_dirs(opts, args.name)

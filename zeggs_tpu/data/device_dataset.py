@@ -29,13 +29,24 @@ _EXAMPLE_KEYS = ("root_vel", "root_vrt", "lpos", "ltxy", "lvel", "lvrt")
 
 
 class DeviceCorpus:
-    def __init__(self, ds: WindowedDataset):
+    def __init__(self, ds: WindowedDataset, mesh=None):
+        """``mesh``: pass the global mesh in multi-process runs so the
+        corpus uploads as globally-replicated arrays (each host holds the
+        same corpus; the jitted gather then closes over global arrays).
+        Single-process: plain local upload."""
         self.ds = ds
         self.window = ds.window
         self.max_example_length = ds.max_example_length
-        self.arrays = {
-            k: jnp.asarray(np.asarray(ds.arrays[k], np.float32)) for k in _WINDOW_KEYS
-        }
+        if mesh is not None and jax.process_count() > 1:
+            from ..parallel.distributed import make_replicated
+
+            self.arrays = make_replicated(
+                {k: np.asarray(ds.arrays[k], np.float32) for k in _WINDOW_KEYS}, mesh
+            )
+        else:
+            self.arrays = {
+                k: jnp.asarray(np.asarray(ds.arrays[k], np.float32)) for k in _WINDOW_KEYS
+            }
 
     # -- host-side index construction ------------------------------------
 

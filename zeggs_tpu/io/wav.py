@@ -69,3 +69,94 @@ def write_wavefile(file_path, pcm_data, sampling_rate, out_type="int16"):
     if data.dtype.kind == "f" and out_type == "int16":
         data = data * 2**15
     wavfile.write(str(file_path), sampling_rate, data.astype(out_type))
+
+
+def trim_silence(
+    x, fs, silence_threshold=0.1, min_silence_duration=0.01, buffer_around_silence=True
+):
+    """Trim leading/trailing silence from float samples.
+
+    In-process equivalent of the sox ``silence`` effect pair the reference
+    applies (audio_files.py:60-67: location=1 then location=-1,
+    buffer_around_silence=True). ``silence_threshold`` is a PERCENTAGE of
+    full scale (sox semantics: 0.1 -> 0.1% ~= -60 dBFS). Samples are
+    "sound" once their amplitude reaches the threshold for at least
+    ``min_silence_duration`` worth of contiguity; with
+    ``buffer_around_silence`` one ``min_silence_duration`` of the removed
+    silence is kept adjacent to the audio.
+    """
+    x = np.asarray(x)
+    thresh = (silence_threshold / 100.0) * 1.0  # float full scale == 1.0
+    loud = np.abs(x) >= thresh
+    if not loud.any():
+        return x[:0]
+    first, last = int(np.argmax(loud)), int(len(loud) - 1 - np.argmax(loud[::-1]))
+    buf = int(round(min_silence_duration * fs)) if buffer_around_silence else 0
+    start = max(0, first - buf)
+    end = min(len(x), last + 1 + buf)
+    return x[start:end]
+
+
+def reformat_and_trim_wav_file(
+    wav_file,
+    fs,
+    bit_depth,
+    nb_channels,
+    overwrite=True,
+    out_path=None,
+    silence_threshold=0.1,
+    min_silence_duration=0.01,
+    silence_pad=True,
+    logger=None,
+):
+    """Re-format a WAV file in-process: trim head/tail silence, resample to
+    ``fs``, convert channels/bit depth, pad 0.01 s of silence at both ends.
+
+    Same surface and defaults as the reference's sox-based
+    ``reformat_and_trim_wav_file`` (audio_files.py:10-85) with NO external
+    binary: overwrite=True replaces the input atomically via a _tmp file;
+    otherwise the result lands in ``out_path`` or a ``processed_<fs>/``
+    sibling directory, exactly like the reference's path handling.
+    Returns the path written.
+    """
+    import os
+
+    initial_path = os.path.normpath(str(wav_file)).strip()
+    if overwrite:
+        dest = os.path.join(
+            os.path.dirname(initial_path),
+            os.path.basename(initial_path).replace(".wav", "_tmp.wav"),
+        )
+    elif out_path:
+        dest = os.path.normpath(str(out_path)).strip()
+    else:
+        d = os.path.join(os.path.dirname(initial_path), f"processed_{fs}")
+        os.makedirs(d, exist_ok=True)
+        dest = os.path.join(d, os.path.basename(initial_path))
+
+    in_fs, x = read_wavfile(
+        initial_path, rescale=True, desired_fs=None,
+        desired_nb_channels=None if nb_channels == 1 else nb_channels,
+    )
+    if silence_threshold > 0.0:
+        x = trim_silence(x, in_fs, silence_threshold, min_silence_duration)
+    if in_fs != fs:
+        g = np.gcd(int(in_fs), int(fs))
+        x = resample_poly(x, fs // g, in_fs // g).astype(np.float32)
+    if nb_channels > 1 and x.ndim == 1:
+        x = np.repeat(x[:, None], nb_channels, axis=1)
+    if silence_pad:
+        pad = np.zeros((int(round(0.01 * fs)),) + x.shape[1:], np.float32)
+        x = np.concatenate([pad, x, pad], axis=0)
+
+    out_type = {16: "int16", 32: "int32"}.get(int(bit_depth))
+    if out_type is None:
+        raise ValueError(f"unsupported bit depth {bit_depth} (16 or 32)")
+    data = np.clip(x, -1.0, 1.0) * (2 ** (int(bit_depth) - 1) - 1)
+    wavfile.write(dest, fs, data.astype(out_type))
+
+    if overwrite:
+        os.remove(initial_path)
+        os.rename(dest, initial_path)
+        return initial_path
+    return dest

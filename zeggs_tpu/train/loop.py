@@ -30,6 +30,7 @@ from ..io import checkpoint
 from ..models import decoder, speech_encoder, style_encoder
 from ..ops import quat, xform
 from ..parallel import batch_sharding, create_mesh, create_mesh_for_batch, replicated
+from ..parallel.distributed import local_batch_slice, make_replicated, put_global_batch
 from ..utils import write_bvh
 from . import radam as radam_lib
 from .loss import compute_loss
@@ -153,7 +154,20 @@ def make_train_step(opts: Options, stats, parents, dt, mesh=None, donate=True):
 
 
 class Trainer:
-    """Host-side loop: epochs, logging, checkpointing, sample synthesis."""
+    """Host-side loop: epochs, logging, checkpointing, sample synthesis.
+
+    Multi-host contract (call ``parallel.distributed.initialize`` first):
+    every process constructs the same Trainer from the same options/seed
+    over the shared filesystem corpus. The mesh spans all global devices;
+    parameters and optimizer state are globally replicated
+    (`make_replicated`), the shared host RNG keeps batch *indices*
+    identical on every process, and each process materializes only its
+    `local_batch_slice` of the batch — `put_global_batch` assembles the
+    global sharded arrays, so gradient psum rides ICI within hosts and DCN
+    across, exactly SURVEY.md §5's design. Checkpoints and samples are
+    written by process 0 only. The device-resident corpus is replicated
+    per host (every host uploads the same corpus to its local devices).
+    """
 
     def __init__(
         self,
@@ -180,6 +194,7 @@ class Trainer:
             example_length=opts.net.style_encoder.example_length,
         )
         self.mesh = mesh if mesh is not None else create_mesh_for_batch(opts.train.batchsize)
+        self.n_proc = jax.process_count()
         self.rng = np.random.default_rng(opts.train.seed)
         self.key = jax.random.PRNGKey(opts.train.seed)
 
@@ -190,7 +205,9 @@ class Trainer:
         if device_corpus:
             from ..data.device_dataset import DeviceCorpus, make_device_train_step
 
-            self.device_corpus = DeviceCorpus(self.ds)
+            self.device_corpus = DeviceCorpus(
+                self.ds, mesh=self.mesh if self.n_proc > 1 else None
+            )
             self.tx, self.train_step = make_device_train_step(
                 opts, self.ds.stats, self.ds.parents, self.ds.dt,
                 self.device_corpus, self.ds.nlabels, mesh=self.mesh,
@@ -199,16 +216,31 @@ class Trainer:
             self.tx, self.train_step = make_train_step(
                 opts, self.ds.stats, self.ds.parents, self.ds.dt, mesh=self.mesh
             )
-        self.opt_state = self.tx.init(self.params)
+        if self.n_proc > 1:
+            # params are identical on every process (same seed, deterministic
+            # init) — lift them + optimizer state to global replicated arrays
+            params_host = jax.device_get(self.params)
+            self.params = make_replicated(params_host, self.mesh)
+            self.opt_state = make_replicated(
+                jax.device_get(self.tx.init(params_host)), self.mesh
+            )
+        else:
+            self.opt_state = self.tx.init(self.params)
         self.iteration = 0
         self.epoch = 0
         self.writer = writer
 
         if opts.train.resume and (self.models_dir / "checkpoint.json").exists():
             nets, opt_state, meta = checkpoint.load_train_state(self.models_dir)
-            self.params = jax.tree.map(jnp.asarray, nets)
+            if self.n_proc > 1:
+                self.params = make_replicated(nets, self.mesh)
+            else:
+                self.params = jax.tree.map(jnp.asarray, nets)
             if opt_state is not None:
-                self.opt_state = _restore_opt_state(self.opt_state, opt_state)
+                restored = _restore_opt_state(self.opt_state, opt_state)
+                if self.n_proc > 1:
+                    restored = make_replicated(jax.device_get(restored), self.mesh)
+                self.opt_state = restored
             self.iteration = int(meta["step"])
             # lossless resume: epoch counter + host RNG (data order) + PRNG
             # key (dropout/VAE noise) continue instead of replaying from
@@ -224,10 +256,9 @@ class Trainer:
     def run(self, max_iterations=None, log_every=10, on_step=None):
         t = self.opts.train
         total = max_iterations if max_iterations is not None else 1000 * t.niterations
-        data = batch_sharding(self.mesh)
         start_time = datetime.datetime.now()
         try:
-            self._run_epochs(total, data, log_every, on_step)
+            self._run_epochs(total, log_every, on_step)
         except (KeyboardInterrupt, Exception):
             # crash-safe: persist the latest state before propagating
             # (the reference loses up to generate_samples_step iterations)
@@ -237,36 +268,59 @@ class Trainer:
         print(f"trained to iteration {self.iteration} in {elapsed}")
         return self.params
 
-    def _run_epochs(self, total, data, log_every, on_step):
+    def _step_scalars(self, step_key):
+        """(iteration, rng) step inputs. Multi-host: plain host values so
+        every process contributes identical replicated inputs (a committed
+        single-device array would clash with the global mesh)."""
+        if self.n_proc > 1:
+            return np.float32(self.iteration), np.asarray(step_key)
+        return jnp.float32(self.iteration), step_key
+
+    def _post_step(self, metrics, log_every, on_step):
+        t = self.opts.train
+        if self.writer is not None and (self.iteration % log_every == 0):
+            self.writer.write(self.iteration, {k: float(v) for k, v in metrics.items()})
+        if on_step is not None:
+            on_step(self.iteration, metrics)
+        if self.iteration % t.generate_samples_step == 0:
+            self.save_checkpoint()
+            try:
+                self.generate_samples(3)
+            except Exception as e:  # sample synthesis must not kill training
+                print(f"sample synthesis failed: {e}", file=sys.stderr)
+        self.iteration += 1
+
+    def _run_epochs(self, total, log_every, on_step):
         if self.device_corpus is not None:
-            self._run_epochs_device(total, data, log_every, on_step)
+            self._run_epochs_device(total, log_every, on_step)
             return
         t = self.opts.train
+        ds = self.ds
+        example_mode = t.style_encoding_type == "example"
         while self.iteration < total:
-            for batch in self.ds.batches(t.batchsize, self.rng):
+            # the permutation and example-length draws come from the shared
+            # host RNG: identical on every process, so global batch indices
+            # agree and each process materializes only its local rows
+            order = self.rng.permutation(len(ds))
+            for b in range(len(order) // t.batchsize):
                 if self.iteration >= total:
                     break
-                batch_dev = jax.tree.map(lambda x: jax.device_put(x, data), batch)
+                idx = order[b * t.batchsize : (b + 1) * t.batchsize]
+                ewl = ds.sample_example_length(self.rng) if example_mode else None
+                if self.n_proc > 1:
+                    s, e = local_batch_slice(t.batchsize)
+                    idx = idx[s:e]
+                batch = ds.make_batch(idx, example_window_length=ewl)
+                batch_dev = put_global_batch(batch, self.mesh)
                 self.key, step_key = jax.random.split(self.key)
+                it_val, key_val = self._step_scalars(step_key)
                 self.params, self.opt_state, metrics = self.train_step(
-                    self.params, self.opt_state, batch_dev,
-                    jnp.float32(self.iteration), step_key,
+                    self.params, self.opt_state, batch_dev, it_val, key_val,
                 )
-                if self.writer is not None and (self.iteration % log_every == 0):
-                    m = {k: float(v) for k, v in metrics.items()}
-                    self.writer.write(self.iteration, m)
-                if on_step is not None:
-                    on_step(self.iteration, metrics)
-                if self.iteration % t.generate_samples_step == 0:
-                    self.save_checkpoint()
-                    try:
-                        self.generate_samples(3)
-                    except Exception as e:  # sample synthesis must not kill training
-                        print(f"sample synthesis failed: {e}", file=sys.stderr)
-                self.iteration += 1
+                self._post_step(metrics, log_every, on_step)
             self.epoch += 1
 
-    def _run_epochs_device(self, total, data, log_every, on_step):
+    def _run_epochs_device(self, total, log_every, on_step):
         """Device-resident-corpus loop: only index vectors cross H2D."""
         t = self.opts.train
         ds = self.ds
@@ -277,35 +331,30 @@ class Trainer:
                 if self.iteration >= total:
                     break
                 idx = order[b * t.batchsize : (b + 1) * t.batchsize]
+                ewl = None if label_mode else ds.sample_example_length(self.rng)
+                if self.n_proc > 1:
+                    s, e = local_batch_slice(t.batchsize)
+                    idx = idx[s:e]
                 if label_mode:
                     starts = ds.window_starts[idx].astype(np.int32)
                     ex_arg = ds.window_labels[idx].astype(np.int32)
                     ex_len = np.zeros(len(idx), np.int32)
                 else:
-                    ewl = ds.sample_example_length(self.rng)
                     starts, ex_arg, ex_len = self.device_corpus.sample_indices(idx, ewl)
-                args = jax.tree.map(lambda x: jax.device_put(x, data), (starts, ex_arg, ex_len))
+                args = put_global_batch((starts, ex_arg, ex_len), self.mesh)
                 self.key, step_key = jax.random.split(self.key)
+                it_val, key_val = self._step_scalars(step_key)
                 self.params, self.opt_state, metrics = self.train_step(
-                    self.params, self.opt_state, *args,
-                    jnp.float32(self.iteration), step_key,
+                    self.params, self.opt_state, *args, it_val, key_val,
                 )
-                if self.writer is not None and (self.iteration % log_every == 0):
-                    self.writer.write(self.iteration, {k: float(v) for k, v in metrics.items()})
-                if on_step is not None:
-                    on_step(self.iteration, metrics)
-                if self.iteration % t.generate_samples_step == 0:
-                    self.save_checkpoint()
-                    try:
-                        self.generate_samples(3)
-                    except Exception as e:
-                        print(f"sample synthesis failed: {e}", file=sys.stderr)
-                self.iteration += 1
+                self._post_step(metrics, log_every, on_step)
             self.epoch += 1
 
     # ------------------------------------------------------------------
 
     def save_checkpoint(self):
+        if self.n_proc > 1 and jax.process_index() != 0:
+            return  # shared filesystem: process 0 owns the checkpoint files
         nets = {k: jax.device_get(v) for k, v in self.params.items()}
         opt = jax.device_get(self.opt_state)
         extra = {
@@ -319,6 +368,13 @@ class Trainer:
 
     def generate_samples(self, n=3, length_s=30):
         """Ground/predict BVH pairs for train+valid clips (train.py:477-729)."""
+        params = self.params
+        if self.n_proc > 1:
+            if jax.process_index() != 0:
+                return  # local-compute path; only process 0 writes samples
+            # pull replicated globals to host so the local (non-mesh) jit
+            # programs below can consume them
+            params = jax.tree.map(np.asarray, jax.device_get(self.params))
         stats = {k: jnp.asarray(v) for k, v in self.ds.stats.items()}
         for which in ("train", "valid"):
             for i in range(n):
@@ -326,13 +382,13 @@ class Trainer:
                 audio = (jnp.asarray(sample["audio_features"]) - stats["audio_input_mean"]) / stats[
                     "audio_input_std"
                 ]
-                speech = speech_encoder.apply(self.params["speech_encoder"], audio, train=False)
+                speech = speech_encoder.apply(params["speech_encoder"], audio, train=False)
                 if self.opts.train.style_encoding_type == "example":
                     ewl = self.ds.sample_example_length(self.rng)
                     vec = self.ds.get_example(s, s + self.ds.window, (s, e), ewl)
                     ex = (jnp.asarray(vec[None]) - stats["anim_input_mean"]) / stats["anim_input_std"]
                     style, _, _ = style_encoder.apply(
-                        self.params["style_encoder"], ex,
+                        params["style_encoder"], ex,
                         encoder_type=self.opts.net.style_encoder.type,
                         use_vae=self.opts.net.style_encoder.use_vae,
                         style_embedding_size=self.opts.net.style_encoder.style_encoding_size,
@@ -343,7 +399,7 @@ class Trainer:
                 T = speech.shape[1]
                 style_t = jnp.repeat(style[:, None], T, axis=1)
                 out = decoder.rollout(
-                    self.params["decoder"],
+                    params["decoder"],
                     *(jnp.asarray(sample[k][:, 0]) for k in _POSE_KEYS),
                     jnp.asarray(sample["gaze_pos"]), speech, style_t,
                     stats["anim_input_mean"], stats["anim_input_std"],
