@@ -264,6 +264,76 @@ def test_label_mode_matches_reference(ref, corpus, torch_nets, tmp_path):
     _compare_bvh(ref_out / "lbl.bvh", jax_out / "lbl.bvh", "label-mode")
 
 
+def test_film_decoder_and_gru_style_encoder_match_reference(ref, corpus, tmp_path):
+    """The two ALTERNATE architectures end-to-end through both stacks:
+    RecurrentDecoderFiLM (modules.py:188-227) + StyleEncoderGRU
+    (modules.py:307-343) — previously only covered by hand-built parity
+    tests, never by the genuine reference code."""
+    m = ref.modules
+    torch.manual_seed(23)
+    base = small_options()
+    opts = C.Options(
+        net=C.NetworkConfig(
+            decoder=C.DecoderConfig(nhidden=base.net.decoder.nhidden,
+                                    num_rnn_layers=2, rnn_cond="film"),
+            speech_encoder=base.net.speech_encoder,
+            style_encoder=C.StyleEncoderConfig(
+                nhidden=base.net.style_encoder.nhidden,
+                style_encoding_size=base.net.style_encoder.style_encoding_size,
+                example_length=base.net.style_encoder.example_length,
+                type="gru", use_vae=True,
+            ),
+        ),
+        train=base.train,
+    )
+    net = opts.net
+    nets = {
+        "speech_encoder": m.SpeechEncoder(
+            81, net.speech_encoder.nhidden, net.speech_encoder.speech_encoding_size
+        ),
+        "style_encoder": m.StyleEncoder(
+            POSE_IN, net.style_encoder.nhidden,
+            net.style_encoder.style_encoding_size, type="gru", use_vae=True,
+        ),
+        "decoder": m.Decoder(
+            POSE_IN, POSE_OUT, net.speech_encoder.speech_encoding_size,
+            net.style_encoder.style_encoding_size, net.decoder.nhidden, 2,
+            rnn_cond="film",
+        ),
+    }
+    for mod in nets.values():
+        mod.eval()
+    data_dir = corpus / "processed"
+    ref_models, jax_models = tmp_path / "ref_models", tmp_path / "jax_models"
+    ref_models.mkdir(), jax_models.mkdir()
+    for name, mod in nets.items():
+        torch.save(mod, ref_models / f"{name}.pt")
+    checkpoint.save(jax_models / "speech_encoder.npz",
+                    convert_speech_encoder(nets["speech_encoder"].state_dict()))
+    checkpoint.save(jax_models / "style_encoder.npz",
+                    convert_style_encoder(nets["style_encoder"].state_dict(), "gru"))
+    checkpoint.save(jax_models / "decoder.npz",
+                    convert_decoder(nets["decoder"].state_dict(), rnn_cond="film"))
+
+    audio_file = corpus / "original" / "000_Synth_0.wav"
+    style_bvh = corpus / "original" / "002_Synth_2.bvh"
+
+    ref_out, jax_out = tmp_path / "ref_out", tmp_path / "jax_out"
+    jax_out.mkdir()
+    common = dict(temperature=DETERMINISTIC_TEMPERATURE, seed=3, file_name="film")
+    ref.generate.generate_gesture(
+        Path(audio_file), [(Path(style_bvh), (5, 100))],
+        network_path=Path(ref_models), data_path=Path(data_dir),
+        results_path=ref_out, use_gpu=False, **common,
+    )
+    pipe = GesturePipeline(jax_models, data_dir, options=opts)
+    generate_gesture(
+        audio_file, [(style_bvh, (5, 100))], network_path=jax_models,
+        data_path=data_dir, results_path=jax_out, pipeline=pipe, **common,
+    )
+    _compare_bvh(ref_out / "film.bvh", jax_out / "film.bvh", "film+gru")
+
+
 def test_style_encoding_matches_reference(ref, corpus, torch_nets, tmp_path):
     """audio=None mode: both stacks return the same style embedding."""
     nets, opts = torch_nets

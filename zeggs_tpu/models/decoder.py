@@ -348,7 +348,7 @@ def rollout(
             params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel,
             lvrt, gaze_pos, speech_encoding, style_encoding, anim_input_mean,
             anim_input_std, anim_output_mean, anim_output_std, dt,
-            num_rnn_layers,
+            num_rnn_layers, output_indices=output_indices,
         )
 
     # Initial hidden state from ground-truth frame 0 (modules.py:82-98).
@@ -425,10 +425,13 @@ def make_fused_b1_fn(
 def _rollout_film(
     params, root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt,
     gaze_pos, speech_encoding, style_encoding, anim_input_mean, anim_input_std,
-    anim_output_mean, anim_output_std, dt, num_rnn_layers,
+    anim_output_mean, anim_output_std, dt, num_rnn_layers, output_indices=None,
 ):
     """FiLM-conditioned cell (modules.py:188-227): style enters only through
     per-layer (gamma, beta) modulation; the GRU input is [hidden|pose|speech].
+
+    ``output_indices`` selects which of the 8 trajectories to stack (same
+    contract as rollout_chunk) — the serving path requests (0, 1, 4, 5).
     """
     B, T = speech_encoding.shape[:2]
     njoints = lpos.shape[1]
@@ -458,7 +461,8 @@ def _rollout_film(
         out = L.linear(cp["out"], hid2)
         new = P.devectorize_output(out, rp, rr, njoints, dt, anim_output_mean, anim_output_std)
         new_carry = (jnp.stack([h1, h2]),) + new[:2] + (new[2], new[3], new[4], new[5], new[6], new[7])
-        return new_carry, new
+        emit = new if output_indices is None else tuple(new[i] for i in output_indices)
+        return new_carry, emit
 
     xs = (
         jnp.swapaxes(gaze_pos[:, 1:], 0, 1),
@@ -471,14 +475,7 @@ def _rollout_film(
     def stack(first, rest):
         return jnp.concatenate([first[:, None], jnp.swapaxes(rest, 0, 1)], axis=1)
 
-    o = ys
-    return (
-        stack(root_pos, o[0]),
-        stack(root_rot, o[1]),
-        stack(root_vel, o[2]),
-        stack(root_vrt, o[3]),
-        stack(lpos, o[4]),
-        stack(ltxy, o[5]),
-        stack(lvel, o[6]),
-        stack(lvrt, o[7]),
-    )
+    firsts = (root_pos, root_rot, root_vel, root_vrt, lpos, ltxy, lvel, lvrt)
+    if output_indices is None:
+        return tuple(stack(f, y) for f, y in zip(firsts, ys))
+    return tuple(stack(firsts[i], y) for i, y in zip(output_indices, ys))
