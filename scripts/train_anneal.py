@@ -37,9 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from tests.synthetic import write_raw_corpus  # noqa: E402
 from zeggs_tpu import config as C  # noqa: E402
-from zeggs_tpu.data.pipeline import data_pipeline  # noqa: E402
 from zeggs_tpu.train.loop import Trainer  # noqa: E402
 from zeggs_tpu.train.loss import generalized_logistic_function  # noqa: E402
 
@@ -47,14 +45,27 @@ LOG_KEYS = ("total_loss", "loss_kl_div", "loss_lpos", "loss_lrot")
 
 
 def build_corpus(root: Path):
-    write_raw_corpus(root, n_clips=6, seconds=8.0)
-    conf = C.PipelineConfig(
-        base_path=str(root), processed_data_path="processed",
-        info_filename="info.csv",
-        audio_conf=C.MelConfig(normalize_loudness=False), len_ratios=(1.0,),
-        save_trimmed_audio=False, save_trimmed_animation=False,
+    """Corpus build in a CPU-pinned subprocess: the featurizer's jitted hot
+    paths otherwise land on the TPU default backend and pay minutes of
+    remote-compile per shape through the tunnel for pure host prep work."""
+    import subprocess
+
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {str(REPO)!r}); sys.path.insert(0, {str(REPO / 'tests')!r})\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from synthetic import write_raw_corpus\n"
+        "from zeggs_tpu import config as C\n"
+        "from zeggs_tpu.data.pipeline import data_pipeline\n"
+        "from pathlib import Path\n"
+        f"root = Path({str(root)!r})\n"
+        "write_raw_corpus(root, n_clips=6, seconds=8.0)\n"
+        "conf = C.PipelineConfig(base_path=str(root), processed_data_path='processed',\n"
+        "    info_filename='info.csv', audio_conf=C.MelConfig(normalize_loudness=False),\n"
+        "    len_ratios=(1.0,), save_trimmed_audio=False, save_trimmed_animation=False)\n"
+        "data_pipeline(conf)\n"
     )
-    data_pipeline(conf)
+    subprocess.run([sys.executable, "-c", code], check=True)
     return root / "processed"
 
 

@@ -195,6 +195,12 @@ class Trainer:
         )
         self.mesh = mesh if mesh is not None else create_mesh_for_batch(opts.train.batchsize)
         self.n_proc = jax.process_count()
+        if self.n_proc > 1 and opts.train.batchsize % self.n_proc:
+            # local_batch_slice would silently drop the remainder rows
+            raise ValueError(
+                f"batchsize {opts.train.batchsize} must divide evenly across "
+                f"{self.n_proc} processes"
+            )
         self.rng = np.random.default_rng(opts.train.seed)
         self.key = jax.random.PRNGKey(opts.train.seed)
 
