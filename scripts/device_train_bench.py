@@ -102,13 +102,22 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print
     }
 
 
-def main(compute_dtype="float32", remat=False):
-    run(compute_dtype=compute_dtype, remat=remat)
-    print("DEVBENCH_DONE")
+def main(compute_dtype="float32", remat=False, as_json=False):
+    res = run(
+        compute_dtype=compute_dtype, remat=remat,
+        log=(lambda *a, **k: print(*a, file=sys.stderr, **k)) if as_json else print,
+    )
+    if as_json:
+        import json
+
+        print(json.dumps(res))
+    else:
+        print("DEVBENCH_DONE")
 
 
 if __name__ == "__main__":
     main(
         compute_dtype="bfloat16" if "--bf16" in sys.argv else "float32",
         remat="--remat" in sys.argv,
+        as_json="--json" in sys.argv,
     )
