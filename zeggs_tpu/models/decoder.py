@@ -197,9 +197,11 @@ def rollout_chunk(
     # int8 weights + dynamic per-row activation quant; the in-step matmuls
     # run int8 x int8 -> int32 on the MXU at 2x bf16 peak. Accuracy matches
     # the fused int8 serving kernel (pose MAE 3-5e-4 vs fp32, inside the
-    # 1e-3 parity budget) — see ops/pallas/decoder_kernel.py. The hoisted
-    # conditioning projections, gates, and pose integration stay high
-    # precision.
+    # 1e-3 parity budget) — see ops/pallas/decoder_kernel.py. Dequantized
+    # dot outputs / gates are carried in ``compute_dtype`` (bf16 on TPU):
+    # at B=2048 the step is HBM-traffic bound on these (B, 3H) dot-output
+    # tensors, and fp32 intermediates cost ~40% of the step; the
+    # quantization scales and pose integration stay float32.
     if quantize_int8:
         def _qw(w):
             w = w.astype(jnp.float32)
@@ -217,7 +219,7 @@ def rollout_chunk(
                 xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            return acc.astype(jnp.float32) * (sx * sw)
+            return (acc.astype(jnp.float32) * (sx * sw)).astype(cd)
 
         q_w0_pose = _qw(cp["layer0"]["w"][:pose_dim])
         q_wg_h = _qw(cp["gru0"]["w_ih"][:H])
@@ -226,9 +228,9 @@ def rollout_chunk(
         q_g1_wih = _qw(cp["gru1"]["w_ih"])
         q_g1_whh = _qw(cp["gru1"]["w_hh"])
         q_w_out = _qw(cp["out"]["w"])
-        b_g0_hh = cp["gru0"]["b_hh"].astype(jnp.float32)
-        b_g1_ih = cp["gru1"]["b_ih"].astype(jnp.float32)
-        b_g1_hh = cp["gru1"]["b_hh"].astype(jnp.float32)
+        b_g0_hh = cp["gru0"]["b_hh"].astype(cd)
+        b_g1_ih = cp["gru1"]["b_ih"].astype(cd)
+        b_g1_hh = cp["gru1"]["b_hh"].astype(cd)
 
     mean_in = anim_input_mean.astype(jnp.float32)
     std_in = anim_input_std.astype(jnp.float32)
@@ -246,21 +248,21 @@ def rollout_chunk(
         pose = P.vectorize_input(rp, rr, rv, rw, jp, jt, jv, jw, gaze_t, mean_in, std_in)
         if quantize_int8:
             pose_q = _qa(pose)
-            hidden = jax.nn.elu(pre_l0_t.astype(jnp.float32) + _qdot(pose_q, q_w0_pose))
+            hidden = jax.nn.elu(pre_l0_t.astype(cd) + _qdot(pose_q, q_w0_pose))
             hid_q = _qa(hidden)
-            gi = pre_g0_t.astype(jnp.float32) + _qdot(hid_q, q_wg_h) + _qdot(pose_q, q_wg_pose)
+            gi = pre_g0_t.astype(cd) + _qdot(hid_q, q_wg_h) + _qdot(pose_q, q_wg_pose)
             gh = _qdot(_qa(h[0]), q_g0_whh) + b_g0_hh
             r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
             z = jax.nn.sigmoid(gi[..., H : 2 * H] + gh[..., H : 2 * H])
             n = jnp.tanh(gi[..., 2 * H :] + r * gh[..., 2 * H :])
-            h1 = (1.0 - z) * n + z * h[0].astype(jnp.float32)
+            h1 = (1.0 - z) * n + z * h[0].astype(cd)
             gi1 = _qdot(_qa(h1), q_g1_wih) + b_g1_ih
             gh1 = _qdot(_qa(h[1]), q_g1_whh) + b_g1_hh
             r1 = jax.nn.sigmoid(gi1[..., :H] + gh1[..., :H])
             z1 = jax.nn.sigmoid(gi1[..., H : 2 * H] + gh1[..., H : 2 * H])
             n1 = jnp.tanh(gi1[..., 2 * H :] + r1 * gh1[..., 2 * H :])
-            h2 = (1.0 - z1) * n1 + z1 * h[1].astype(jnp.float32)
-            out = _qdot(_qa(h2), q_w_out) + b_out.astype(jnp.float32)
+            h2 = (1.0 - z1) * n1 + z1 * h[1].astype(cd)
+            out = (_qdot(_qa(h2), q_w_out) + b_out.astype(cd)).astype(jnp.float32)
         else:
             pose_c = pose.astype(cd)
             hidden = jax.nn.elu(pre_l0_t + pose_c @ w0_pose)
