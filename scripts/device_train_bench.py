@@ -51,10 +51,11 @@ class _FakeDS:
         self.ranges_train = np.array([[0, n_frames]], np.int32)
 
 
-def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print):
+def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print, unroll=4):
     """Time the device-resident-corpus train step at full v1 dimensions.
     Returns {"step_ms", "it_s", "frames_per_s"} (median of n_iters)."""
-    opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, remat=remat))
+    opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, remat=remat,
+                                         unroll=unroll))
     ds = _FakeDS()
     corpus = DeviceCorpus.__new__(DeviceCorpus)
     corpus.ds = ds
@@ -102,9 +103,9 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print
     }
 
 
-def main(compute_dtype="float32", remat=False, as_json=False):
+def main(compute_dtype="float32", remat=False, as_json=False, unroll=1):
     res = run(
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, unroll=unroll,
         log=(lambda *a, **k: print(*a, file=sys.stderr, **k)) if as_json else print,
     )
     if as_json:
@@ -116,8 +117,12 @@ def main(compute_dtype="float32", remat=False, as_json=False):
 
 
 if __name__ == "__main__":
+    _ur = 4
+    if "--unroll" in sys.argv:
+        _ur = int(sys.argv[sys.argv.index("--unroll") + 1])
     main(
         compute_dtype="bfloat16" if "--bf16" in sys.argv else "float32",
         remat="--remat" in sys.argv,
         as_json="--json" in sys.argv,
+        unroll=_ur,
     )

@@ -44,6 +44,10 @@ def trainer_opts():
         train=C.TrainConfig(
             batchsize=8, window=32, niterations=1, seed=77,
             generate_samples_step=10_000, use_tensorboard=False,
+            # unroll=1: this test proves multi-process == single-process
+            # semantics, and the smaller programs keep the 2-worker CPU
+            # cluster well inside its communicate() timeout
+            unroll=1,
         ),
     )
 
@@ -80,7 +84,7 @@ def _run_cluster(corpus, out, device_corpus):
         )
         for pid in (0, 1)
     ]
-    outputs = [p.communicate(timeout=540)[0] for p in procs]
+    outputs = [p.communicate(timeout=900)[0] for p in procs]
     for p, o in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
     params, _ = checkpoint.load(out / "params_multihost.npz")

@@ -63,6 +63,12 @@ class TrainConfig:
     mesh_data_axis: int = -1  # -1 = all local devices
     compute_dtype: str = "float32"  # matmul dtype inside the decoder scan
     remat: bool = False  # rematerialize decoder scan steps in backward
+    # Decoder-scan unroll for the training rollout. Measured on v5e (full v1
+    # dims, B=32 x 256): unroll=4 cuts the step 176 -> 132 ms fp32 / 125 ->
+    # 84 ms bf16 (the B=32 per-step matmuls are dispatch-bound, so unrolling
+    # amortizes scan overhead); unroll=8 compiles for 13+ min through the
+    # remote-compile tunnel for no further gain.
+    unroll: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -196,8 +196,9 @@ def rollout_chunk(
     # int8 quantized compute (inference only): per-output-column symmetric
     # int8 weights + dynamic per-row activation quant; the in-step matmuls
     # run int8 x int8 -> int32 on the MXU at 2x bf16 peak. Accuracy matches
-    # the fused int8 serving kernel (pose MAE 3-5e-4 vs fp32, inside the
-    # 1e-3 parity budget) — see ops/pallas/decoder_kernel.py. Dequantized
+    # the fused int8 serving kernel (pose MAE ~5e-4 vs fp32 at full scale,
+    # inside the 1e-3 parity budget) — see ops/pallas/decoder_kernel.py.
+    # Dequantized
     # dot outputs / gates are carried in ``compute_dtype`` (bf16 on TPU):
     # at B=2048 the step is HBM-traffic bound on these (B, 3H) dot-output
     # tensors, and fp32 intermediates cost ~40% of the step; the

@@ -120,6 +120,7 @@ def make_loss_fn(opts: Options, stats, parents, dt, deterministic=False):
             num_rnn_layers=net.decoder.num_rnn_layers,
             compute_dtype=jnp.dtype(opts.train.compute_dtype),
             remat=opts.train.remat,
+            unroll=opts.train.unroll,
         )
         O = dict(zip(_POSE_KEYS, outputs))
         W = {k: batch[k] for k in _POSE_KEYS}
