@@ -257,8 +257,9 @@ def main():
     on_tpu = core["platform"] != "cpu"
 
     # training throughput (device-resident corpus, full v1 dims, batch 32 x
-    # 256 frames) — regresses the it/s headline in docs/DESIGN.md §3b
-    train_res = None
+    # 256 frames) — regresses the it/s headlines in docs/DESIGN.md §3b
+    # (fp32 recipe dtype and the bf16 fast path)
+    train_res = train_bf16_res = None
     if on_tpu and os.environ.get("ZEGGS_BENCH_TRAIN", "1") != "0":
         try:
             train_res = _run_stage(
@@ -266,6 +267,13 @@ def main():
                 timeout=1800)
         except Exception as e:
             print(f"# train bench failed: {e}", file=sys.stderr)
+        try:
+            train_bf16_res = _run_stage(
+                [os.path.join(_REPO, "scripts", "device_train_bench.py"), "--json",
+                 "--bf16"],
+                timeout=1800)
+        except Exception as e:
+            print(f"# train bf16 bench failed: {e}", file=sys.stderr)
 
     # end-to-end serving (20-clip CSV replay: featurization + rollouts +
     # BVH writes; batched makespan + sequential p50/p99)
@@ -297,6 +305,7 @@ def main():
                 else {}
             ),
             **({"train": train_res} if train_res else {}),
+            **({"train_bf16": train_bf16_res} if train_bf16_res else {}),
             **({"serve": serve_res} if serve_res else {}),
         },
     }))
