@@ -103,7 +103,7 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print
     }
 
 
-def main(compute_dtype="float32", remat=False, as_json=False, unroll=1):
+def main(compute_dtype="float32", remat=False, as_json=False, unroll=4):
     res = run(
         compute_dtype=compute_dtype, remat=remat, unroll=unroll,
         log=(lambda *a, **k: print(*a, file=sys.stderr, **k)) if as_json else print,

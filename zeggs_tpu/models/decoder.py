@@ -198,11 +198,10 @@ def rollout_chunk(
     # run int8 x int8 -> int32 on the MXU at 2x bf16 peak. Accuracy matches
     # the fused int8 serving kernel (pose MAE ~5e-4 vs fp32 at full scale,
     # inside the 1e-3 parity budget) — see ops/pallas/decoder_kernel.py.
-    # Dequantized
-    # dot outputs / gates are carried in ``compute_dtype`` (bf16 on TPU):
-    # at B=2048 the step is HBM-traffic bound on these (B, 3H) dot-output
-    # tensors, and fp32 intermediates cost ~40% of the step; the
-    # quantization scales and pose integration stay float32.
+    # Dequantized dot outputs / gates are carried in ``compute_dtype``
+    # (bf16 on TPU): halving the (B, 3H) dot-output HBM traffic measured
+    # +5% at B=2048 (4.30M -> 4.52M frames/s); the quantization scales and
+    # pose integration stay float32.
     if quantize_int8:
         def _qw(w):
             w = w.astype(jnp.float32)
