@@ -51,7 +51,7 @@ class _FakeDS:
         self.ranges_train = np.array([[0, n_frames]], np.int32)
 
 
-def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print, unroll=4):
+def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=print, unroll=4):
     """Time the device-resident-corpus train step at full v1 dimensions.
     Returns {"step_ms", "it_s", "frames_per_s"} (median of n_iters)."""
     opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, remat=remat,
@@ -88,6 +88,15 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=6, log=print
     params_s, opt_s, m = one(0)
     jax.block_until_ready(m["total_loss"])
     log(f"compile+first: {time.time() - t0:.1f}s loss={float(m['total_loss']):.4f}", flush=True)
+    # Per-step blocking, median of n_iters. Caveats of this environment's
+    # axon tunnel: (a) each blocked dispatch adds a VARIABLE 25-70+ ms of
+    # tunnel latency, so run-to-run medians for the identical program range
+    # 132-268 ms fp32; (b) dispatching steps back-to-back WITHOUT blocking
+    # (the real Trainer pattern, which on directly-attached hosts hides
+    # dispatch latency) is pathological through the tunnel (measured 10.7
+    # s/step — in-flight donated-buffer programs serialize badly). The
+    # production cross-check is scripts/train_anneal.py: the real Trainer
+    # loop sustained 112 ms/step (bf16) over 10k iterations on-chip.
     ts = []
     for i in range(n_iters):
         t0 = time.perf_counter()
