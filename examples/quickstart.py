@@ -10,6 +10,7 @@ clip — the complete workflow in one file.
 """
 
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -18,10 +19,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
 
 import jax
 
-if jax.default_backend() == "cpu":
-    pass  # fine
-else:
-    # route host math away from a (possibly remote) accelerator
+# honor JAX_PLATFORMS=cpu even when an accelerator plugin's sitecustomize
+# force-overrides it (remote-compile tunnels make the tiny demo slower
+# than just running on host)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu" and jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+if jax.default_backend() != "cpu":
+    # route repeat compiles through the persistent cache
     jax.config.update("jax_compilation_cache_dir", "/tmp/zeggs_jax_cache")
 
 from synthetic import small_options, write_raw_corpus
