@@ -103,10 +103,17 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
         params_s, opt_s, m = one(i + 1)
         jax.block_until_ready(m["total_loss"])
         ts.append(time.perf_counter() - t0)
-    t = float(np.median(ts))
-    log(f"device-corpus train step: {t*1000:.0f} ms -> {1/t:.1f} it/s; 160k iters = {160000*t/3600:.1f} h", flush=True)
+    # every step is identical device work, so the spread is pure tunnel
+    # noise: report MIN as the step time (closest to on-device; matches
+    # the sustained production loop within ~20 ms) and keep the median
+    # for the tunnel-inclusive view
+    t = float(np.min(ts))
+    t_med = float(np.median(ts))
+    log(f"device-corpus train step: {t*1000:.0f} ms (median {t_med*1000:.0f})"
+        f" -> {1/t:.1f} it/s; 160k iters = {160000*t/3600:.1f} h", flush=True)
     return {
         "step_ms": round(t * 1e3, 1),
+        "step_ms_median": round(t_med * 1e3, 1),
         "it_s": round(1.0 / t, 2),
         "frames_per_s": round(batchsize * ds.window / t, 1),
     }
