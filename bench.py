@@ -234,11 +234,14 @@ def stage_core():
 def _run_stage(argv, timeout):
     """Run one bench stage in its own process; return its final JSON line.
     Stage stderr (progress lines) is forwarded to our stderr."""
+    import re
+
     proc = subprocess.run([sys.executable] + argv, capture_output=True, text=True,
                           timeout=timeout, cwd=_REPO)
     if proc.stderr.strip():
         for ln in proc.stderr.strip().splitlines():
-            if not ln.startswith(("WARNING", "E08", "I08")):
+            # drop jax WARNINGs and glog spam ([EIWF]MMDD prefix)
+            if not ln.startswith("WARNING") and not re.match(r"^[EIWF]\d{4} ", ln):
                 print(ln, file=sys.stderr)
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not lines:

@@ -79,19 +79,32 @@ def trim_silence(
     In-process equivalent of the sox ``silence`` effect pair the reference
     applies (audio_files.py:60-67: location=1 then location=-1,
     buffer_around_silence=True). ``silence_threshold`` is a PERCENTAGE of
-    full scale (sox semantics: 0.1 -> 0.1% ~= -60 dBFS). Samples are
-    "sound" once their amplitude reaches the threshold for at least
-    ``min_silence_duration`` worth of contiguity; with
-    ``buffer_around_silence`` one ``min_silence_duration`` of the removed
-    silence is kept adjacent to the audio.
+    full scale (sox semantics: 0.1 -> 0.1% ~= -60 dBFS). A sample anchors
+    the trim boundary only when it is above threshold AND at least 1/8 of
+    the surrounding ``min_silence_duration`` window is too — an isolated
+    click inside the silence does not count as sound, while real audio
+    (which dips through zero crossings, so strict sample contiguity would
+    never hold) does. With ``buffer_around_silence`` one
+    ``min_silence_duration`` of the removed silence is kept adjacent to
+    the audio. Multi-channel input is trimmed on the per-frame max
+    amplitude across channels (all channels keep the same length).
     """
     x = np.asarray(x)
     thresh = (silence_threshold / 100.0) * 1.0  # float full scale == 1.0
-    loud = np.abs(x) >= thresh
-    if not loud.any():
+    amp = np.abs(x)
+    if amp.ndim > 1:
+        amp = amp.max(axis=tuple(range(1, amp.ndim)))
+    loud = amp >= thresh
+    run = max(1, int(round(min_silence_duration * fs)))
+    if run > 1:
+        near = np.convolve(loud.astype(np.int32), np.ones(run, np.int32), mode="same")
+        dense = loud & (near >= max(1, run // 8))
+    else:
+        dense = loud
+    if not dense.any():
         return x[:0]
-    first, last = int(np.argmax(loud)), int(len(loud) - 1 - np.argmax(loud[::-1]))
-    buf = int(round(min_silence_duration * fs)) if buffer_around_silence else 0
+    first, last = int(np.argmax(dense)), int(len(dense) - 1 - np.argmax(dense[::-1]))
+    buf = run if buffer_around_silence else 0
     start = max(0, first - buf)
     end = min(len(x), last + 1 + buf)
     return x[start:end]
@@ -123,10 +136,11 @@ def reformat_and_trim_wav_file(
 
     initial_path = os.path.normpath(str(wav_file)).strip()
     if overwrite:
-        dest = os.path.join(
-            os.path.dirname(initial_path),
-            os.path.basename(initial_path).replace(".wav", "_tmp.wav"),
-        )
+        # splitext, not str.replace: a name without a literal ".wav"
+        # substring (e.g. clip.WAV) must still get a DISTINCT tmp path,
+        # or the remove+rename below would delete the fresh output
+        root, ext = os.path.splitext(os.path.basename(initial_path))
+        dest = os.path.join(os.path.dirname(initial_path), f"{root}_tmp{ext or '.wav'}")
     elif out_path:
         dest = os.path.normpath(str(out_path)).strip()
     else:
