@@ -168,6 +168,16 @@ class Trainer:
     across, exactly SURVEY.md §5's design. Checkpoints and samples are
     written by process 0 only. The device-resident corpus is replicated
     per host (every host uploads the same corpus to its local devices).
+
+    Cross-host pacing: new train-step program shapes are compiled ahead
+    of time and every rank passes a coordination-service barrier between
+    compile and first execution (`_call_step`), because the collective
+    backend's clique initialization has a hard deadline (~30 s gloo) that
+    a compile-speed skew between hosts would blow. The rank-0-only
+    checkpoint/sample I/O section is likewise fenced by host barriers so
+    other ranks don't run ahead into the next step's collectives
+    (`_post_step`). Both barriers ride the coordinator's gRPC KV store,
+    never device collectives, so they tolerate minutes-long skews.
     """
 
     def __init__(
@@ -196,11 +206,15 @@ class Trainer:
         )
         self.mesh = mesh if mesh is not None else create_mesh_for_batch(opts.train.batchsize)
         self.n_proc = jax.process_count()
-        if self.n_proc > 1 and opts.train.batchsize % self.n_proc:
-            # local_batch_slice would silently drop the remainder rows
+        if self.n_proc > 1 and opts.train.batchsize % len(jax.devices()):
+            # Divisibility by process count alone is NOT enough: the batch
+            # must divide the GLOBAL device count, else create_mesh_for_batch
+            # shrinks the mesh below the slice and some hosts own no mesh
+            # devices — their pjit calls then fail with an opaque sharding
+            # error while local_batch_slice still hands them rows.
             raise ValueError(
                 f"batchsize {opts.train.batchsize} must divide evenly across "
-                f"{self.n_proc} processes"
+                f"{len(jax.devices())} global devices ({self.n_proc} processes)"
             )
         self.rng = np.random.default_rng(opts.train.seed)
         self.key = jax.random.PRNGKey(opts.train.seed)
@@ -233,6 +247,8 @@ class Trainer:
             )
         else:
             self.opt_state = self.tx.init(self.params)
+        self._barrier_seq = 0
+        self._step_exe = {}
         self.iteration = 0
         self.epoch = 0
         self.writer = writer
@@ -290,12 +306,68 @@ class Trainer:
         if on_step is not None:
             on_step(self.iteration, metrics)
         if self.iteration % t.generate_samples_step == 0:
+            if self.n_proc > 1:
+                # Drain the just-dispatched step's collectives BEFORE the
+                # rank-0-only I/O section: entering a barrier with psums
+                # still in flight races two cross-process clique
+                # formations against each other (observed deadlock on the
+                # 2-process CPU cluster in CI).
+                jax.block_until_ready((self.params, self.opt_state))
+                self._host_barrier("pre_ckpt")
             self.save_checkpoint()
             try:
                 self.generate_samples(3)
             except Exception as e:  # sample synthesis must not kill training
                 print(f"sample synthesis failed: {e}", file=sys.stderr)
+            if self.n_proc > 1:
+                # other ranks wait HERE while process 0 spends seconds to
+                # minutes on checkpoint writes + sample synthesis; without
+                # it they would run ahead into the next step's collectives
+                # and blow the backend's communicate deadline (observed:
+                # gloo DEADLINE_EXCEEDED ~30 s in CI)
+                self._host_barrier("post_ckpt")
         self.iteration += 1
+
+    def _call_step(self, *args):
+        """Run the train step; in multi-host mode, compile NEW program
+        shapes ahead of time and barrier before first execution.
+
+        The cross-host CPU/TPU collective backend gives clique
+        INITIALIZATION a hard deadline (observed: gloo GetKeyValue
+        DEADLINE_EXCEEDED at 30 s). A fresh program shape (first step, or
+        a new randomized example-window length on the host-batch path)
+        compiles at different speeds on different hosts, so the fast rank's
+        first psum can start >30 s before the slow rank joins and the
+        clique setup aborts. Compiling eagerly via AOT and passing a
+        coordination-service barrier between compile and execute keeps
+        every rank's collectives starting together; established cliques
+        then wait indefinitely."""
+        if self.n_proc == 1:
+            return self.train_step(*args)
+        key = tuple(
+            (tuple(getattr(a, "shape", ())), str(getattr(a, "dtype", type(a))))
+            for a in jax.tree.leaves(args)
+        )
+        exe = self._step_exe.get(key)
+        if exe is None:
+            exe = self.train_step.lower(*args).compile()
+            self._host_barrier("step_compile")
+            self._step_exe[key] = exe
+        return exe(*args)
+
+    def _host_barrier(self, tag, timeout_ms=3_600_000):
+        """Cross-process barrier via the coordination service (gRPC KV
+        store), NOT a device collective: it never races with in-flight
+        XLA collectives and tolerates one rank spending minutes in I/O
+        (gloo collectives have a hard ~30 s communicate deadline).
+        Sequence-numbered so every rank pairs up the same barrier even
+        across repeated checkpoint sections."""
+        from jax._src.distributed import global_state
+
+        self._barrier_seq += 1
+        global_state.client.wait_at_barrier(
+            f"zeggs_{tag}_{self._barrier_seq}", timeout_in_ms=timeout_ms
+        )
 
     def _run_epochs(self, total, log_every, on_step):
         if self.device_corpus is not None:
@@ -321,7 +393,7 @@ class Trainer:
                 batch_dev = put_global_batch(batch, self.mesh)
                 self.key, step_key = jax.random.split(self.key)
                 it_val, key_val = self._step_scalars(step_key)
-                self.params, self.opt_state, metrics = self.train_step(
+                self.params, self.opt_state, metrics = self._call_step(
                     self.params, self.opt_state, batch_dev, it_val, key_val,
                 )
                 self._post_step(metrics, log_every, on_step)
@@ -351,7 +423,7 @@ class Trainer:
                 args = put_global_batch((starts, ex_arg, ex_len), self.mesh)
                 self.key, step_key = jax.random.split(self.key)
                 it_val, key_val = self._step_scalars(step_key)
-                self.params, self.opt_state, metrics = self.train_step(
+                self.params, self.opt_state, metrics = self._call_step(
                     self.params, self.opt_state, *args, it_val, key_val,
                 )
                 self._post_step(metrics, log_every, on_step)
@@ -382,16 +454,23 @@ class Trainer:
             # pull replicated globals to host so the local (non-mesh) jit
             # programs below can consume them
             params = jax.tree.map(np.asarray, jax.device_get(self.params))
+        # DEDICATED deterministic generator — never self.rng: sample
+        # synthesis runs on process 0 only, and consuming the shared host
+        # RNG there would silently desynchronize the batch-index /
+        # example-length draws the multi-host contract requires to be
+        # identical on every process. (Also keeps the training data stream
+        # independent of how often samples are generated.)
+        rng = np.random.default_rng([self.opts.train.seed, 0x5A11, self.iteration])
         stats = {k: jnp.asarray(v) for k, v in self.ds.stats.items()}
         for which in ("train", "valid"):
             for i in range(n):
-                sample, label, (s, e), _ = self.ds.get_sample(which, length_s, rng=self.rng)
+                sample, label, (s, e), _ = self.ds.get_sample(which, length_s, rng=rng)
                 audio = (jnp.asarray(sample["audio_features"]) - stats["audio_input_mean"]) / stats[
                     "audio_input_std"
                 ]
                 speech = speech_encoder.apply(params["speech_encoder"], audio, train=False)
                 if self.opts.train.style_encoding_type == "example":
-                    ewl = self.ds.sample_example_length(self.rng)
+                    ewl = self.ds.sample_example_length(rng)
                     vec = self.ds.get_example(s, s + self.ds.window, (s, e), ewl)
                     ex = (jnp.asarray(vec[None]) - stats["anim_input_mean"]) / stats["anim_input_std"]
                     style, _, _ = style_encoder.apply(
