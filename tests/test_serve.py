@@ -1,0 +1,153 @@
+"""Serving daemon: HTTP surface, micro-batching, validation, stats."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.synthetic import write_corpus
+from zeggs_tpu.infer import GesturePipeline
+from zeggs_tpu.io import bvh
+from zeggs_tpu.serve import GestureServer
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_corpus")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=2, nframes=180)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    srv = GestureServer(pipe, max_batch=8, max_wait_ms=50)
+    port = srv.start()
+    yield srv, port, clips, root
+    srv.stop()
+
+
+def _post(port, payload, timeout=600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/synthesize",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _check_bvh(text, tmp_path, n_expected):
+    p = tmp_path / "resp.bvh"
+    p.write_text(text)
+    anim = bvh.load(p)
+    assert anim["rotations"].shape[0] == n_expected
+    assert np.isfinite(anim["rotations"]).all()
+    assert abs(anim["frametime"] - 1 / 60) < 1e-6
+    return anim
+
+
+def test_healthz(server):
+    _, port, _, _ = server
+    out = _get(port, "/healthz")
+    assert out["ok"] is True
+    assert out["style_encoding_type"] == "example"
+
+
+def test_synthesize_single(server, tmp_path):
+    _, port, clips, _ = server
+    style_bvh, audio_wav = clips[0]
+    out = _post(port, {
+        "audio_path": str(audio_wav),
+        "style_path": str(style_bvh),
+        "seed": 7,
+    })
+    assert out["batch_size"] >= 1 and out["latency_ms"] > 0
+    _check_bvh(out["bvh"], tmp_path, int(round(60 * 3.0)))
+
+
+def test_synthesize_audio_b64_roundtrip(server, tmp_path):
+    """Uploading the wav bytes inline must match serving the same file
+    by path (same seed -> identical BVH text)."""
+    _, port, clips, _ = server
+    style_bvh, audio_wav = clips[1]
+    by_path = _post(port, {
+        "audio_path": str(audio_wav), "style_path": str(style_bvh), "seed": 3,
+    })
+    by_bytes = _post(port, {
+        "audio_wav_b64": base64.b64encode(audio_wav.read_bytes()).decode(),
+        "style_path": str(style_bvh), "seed": 3,
+    })
+    assert by_bytes["bvh"] == by_path["bvh"]
+
+
+def test_concurrent_requests_coalesce(server, tmp_path):
+    """While the scheduler is busy with one batch, queued arrivals must
+    come out as ONE coalesced batch: occupy the device with a first
+    request, then fire 3 concurrently — all three must report the same
+    batch_size == 3."""
+    _, port, clips, _ = server
+    style_bvh, audio_wav = clips[0]
+
+    def payload(seed):
+        return {"audio_path": str(audio_wav), "style_path": str(style_bvh),
+                "seed": seed}
+
+    # occupy the scheduler (compiles are warm from the earlier tests, but
+    # the rollout itself takes long enough on CPU to queue behind)
+    blocker = threading.Thread(target=_post, args=(port, payload(1)))
+    blocker.start()
+
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = _post(port, payload(100 + i))
+
+    import time
+
+    time.sleep(0.3)  # let the blocker enter the scheduler
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    blocker.join()
+
+    sizes = sorted(r["batch_size"] for r in results)
+    # all three queued while the blocker batch ran -> one batch of 3
+    # (>= 2 tolerated: a slow thread start can miss the window)
+    assert sizes[-1] >= 2, sizes
+    for r in results:
+        _check_bvh(r["bvh"], tmp_path, int(round(60 * 3.0)))
+
+    stats = _get(port, "/stats")
+    assert stats["requests_total"] >= 4
+    assert stats["batch_size_max"] >= 2
+    assert stats["latency_ms_p99"] >= stats["latency_ms_p50"]
+
+
+def test_validation_errors(server):
+    _, port, clips, _ = server
+    style_bvh, audio_wav = clips[0]
+    cases = [
+        {},  # no audio
+        {"audio_path": "/nonexistent.wav", "style_path": str(style_bvh)},
+        {"audio_path": str(audio_wav)},  # no style
+        {"audio_path": str(audio_wav), "style_label": "NotAStyle"},
+        {"audio_path": str(audio_wav), "style_label": 0},  # label w/o first_pose
+        {"audio_path": str(audio_wav), "style_path": str(style_bvh),
+         "blend_ratio": [0.5, 0.5]},  # ratio len mismatch
+    ]
+    for payload in cases:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(port, payload)
+        assert exc.value.code == 400, payload
+
+    stats_before = _get(port, "/stats")["requests_total"]
+    assert stats_before >= 0  # validation errors never reach the scheduler

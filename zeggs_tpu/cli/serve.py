@@ -1,0 +1,70 @@
+"""Serving CLI: HTTP gesture-synthesis daemon with dynamic batching.
+
+Net-new vs the reference (which has no serving component): loads the
+trained networks once, then serves POST /synthesize requests, coalescing
+concurrent requests into bucketed batched rollouts (see
+zeggs_tpu/serve/server.py).
+
+Usage:
+  python -m zeggs_tpu.cli.serve -o options.json --port 8008
+  curl -s localhost:8008/healthz
+  curl -s -X POST localhost:8008/synthesize -d '{
+      "audio_path": ".../speech.wav", "style_path": ".../style.bvh",
+      "temperature": 1.0, "seed": 42}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from ..config import Options
+from ..infer import GesturePipeline
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="zeggs_tpu.serve", description="Gesture synthesis server")
+    p.add_argument("-o", "--options", type=str, required=True, help="options.json from training")
+    p.add_argument("-se", "--style_encoding_type", type=str, default="example")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--max-batch", type=int, default=64)
+    p.add_argument("--max-wait-ms", type=float, default=30.0,
+                   help="batching window after the first queued request")
+    p.add_argument("--bucket", type=int, default=512,
+                   help="rollout length padding quantum (frames)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 quantized rollouts (pose MAE 3-5e-4, budget 1e-3)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    with open(args.options) as f:
+        options_dict = json.load(f)
+    opts = Options.from_options_dict(options_dict)
+
+    paths = options_dict["paths"]
+    base_path = Path(paths["base_path"])
+    data_path = base_path / paths["path_processed_data"]
+    network_path = Path(paths["models_dir"])
+
+    pipe = GesturePipeline(
+        network_path, data_path, options=opts,
+        style_encoding_type=args.style_encoding_type,
+        fused_b1="int8" if args.int8 else "auto",
+    )
+    from ..serve import GestureServer
+
+    server = GestureServer(
+        pipe, host=args.host, port=args.port, max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms, bucket=args.bucket,
+    )
+    print(f"serving on {args.host}:{server.port} "
+          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
