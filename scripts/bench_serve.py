@@ -147,6 +147,10 @@ def main(argv=None, quiet=False):
     ap.add_argument("--requests", type=int, default=20)
     ap.add_argument("--root", type=str, default="/tmp/zeggs_serve_bench")
     ap.add_argument("--skip-sequential", action="store_true")
+    ap.add_argument("--daemon", action="store_true",
+                    help="also benchmark the HTTP daemon (zeggs_tpu/serve): "
+                    "all requests fired as concurrent POSTs through the "
+                    "dynamic micro-batcher")
     args = ap.parse_args(argv)
 
     root = Path(args.root)
@@ -199,6 +203,60 @@ def main(argv=None, quiet=False):
         result["seq_p95_s"] = round(float(np.percentile(lat, 95)), 3)
         result["seq_p99_s"] = round(float(np.percentile(lat, 99)), 3)
         result["seq_clips_per_s"] = round(len(lat) / float(lat.sum()), 3)
+
+    # ---- HTTP daemon (dynamic micro-batching over the same pipe) ---------
+    if args.daemon:
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from zeggs_tpu.serve import GestureServer
+
+        srv = GestureServer(pipe, max_batch=32, max_wait_ms=50, bucket=256)
+        port = srv.start()
+        payloads = [
+            json.dumps({
+                "audio_path": str(req.audio),
+                "styles": [{"bvh_path": str(req.styles[0][0]),
+                            "frames": list(req.styles[0][1])}],
+                "seed": req.seed, "file_name": req.file_name,
+            }).encode()
+            for req in requests
+        ]
+
+        def post(body):
+            t0 = time.perf_counter()
+            r = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/synthesize", data=body,
+                    headers={"Content-Type": "application/json"},
+                ),
+                timeout=1800,
+            )
+            out = json.loads(r.read())
+            return time.perf_counter() - t0, out["batch_size"], len(out["bvh"])
+
+        def one_pass():
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=len(payloads)) as pool:
+                outs = list(pool.map(post, payloads))
+            return time.perf_counter() - t0, outs
+
+        one_pass()  # warm (rollout buckets already compiled above, but
+        # the daemon's own style-encode batch shapes may be new)
+        spans, all_lat, all_bs = [], [], []
+        for _ in range(3):
+            span, outs = one_pass()
+            spans.append(span)
+            all_lat.extend(o[0] for o in outs)
+            all_bs.extend(o[1] for o in outs)
+        lat = np.asarray(all_lat)
+        result["daemon_makespan_s"] = round(float(np.median(spans)), 3)
+        result["daemon_clips_per_s"] = round(
+            len(requests) / float(np.median(spans)), 3)
+        result["daemon_p50_s"] = round(float(np.percentile(lat, 50)), 3)
+        result["daemon_p99_s"] = round(float(np.percentile(lat, 99)), 3)
+        result["daemon_batch_size_mean"] = round(float(np.mean(all_bs)), 2)
+        srv.stop()
 
     if not quiet:
         print(json.dumps(result))
