@@ -160,7 +160,12 @@ class GestureServer:
                     self._reply(400, {"error": str(e)})
                     return
                 server._queue.put(job)
-                job.done.wait()
+                # generous bound: first-ever rollout shape can compile for
+                # ~10 min through a remote-compile tunnel; a lost job
+                # (scheduler died) still gets a 504 instead of hanging
+                if not job.done.wait(timeout=3600):
+                    self._reply(504, {"error": "synthesis timed out"})
+                    return
                 if job.error is not None:
                     server.stats.record(
                         (job.t_done - job.t_enqueue) * 1e3, job.batch_size, error=True
@@ -284,9 +289,16 @@ class GestureServer:
 
     def _run_scheduler(self):
         while not self._stop.is_set():
-            jobs = self._drain_batch()
-            if not jobs:
-                continue
+            try:
+                self._run_one_batch()
+            except Exception:  # keep serving even on unexpected errors
+                import traceback
+
+                traceback.print_exc()
+
+    def _run_one_batch(self):
+        jobs = self._drain_batch()
+        if jobs:
             out_dir = self._tmp_root / f"batch_{time.monotonic_ns()}"
             try:
                 generate_batch(
@@ -301,6 +313,10 @@ class GestureServer:
                     j.error = f"{type(e).__name__}: {e}"
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
+                uploads = self._tmp_root / "uploads"
+                for j in jobs:  # b64-uploaded wavs are single-use
+                    if j.request.audio.parent == uploads:
+                        j.request.audio.unlink(missing_ok=True)
                 now = time.perf_counter()
                 for j in jobs:
                     j.t_done = now
