@@ -241,22 +241,24 @@ def main(argv=None, quiet=False):
                 outs = list(pool.map(post, payloads))
             return time.perf_counter() - t0, outs
 
-        one_pass()  # warm (rollout buckets already compiled above, but
-        # the daemon's own style-encode batch shapes may be new)
-        spans, all_lat, all_bs = [], [], []
-        for _ in range(3):
-            span, outs = one_pass()
-            spans.append(span)
-            all_lat.extend(o[0] for o in outs)
-            all_bs.extend(o[1] for o in outs)
-        lat = np.asarray(all_lat)
-        result["daemon_makespan_s"] = round(float(np.median(spans)), 3)
-        result["daemon_clips_per_s"] = round(
-            len(requests) / float(np.median(spans)), 3)
-        result["daemon_p50_s"] = round(float(np.percentile(lat, 50)), 3)
-        result["daemon_p99_s"] = round(float(np.percentile(lat, 99)), 3)
-        result["daemon_batch_size_mean"] = round(float(np.mean(all_bs)), 2)
-        srv.stop()
+        try:
+            one_pass()  # warm (rollout buckets already compiled above, but
+            # the daemon's own style-encode batch shapes may be new)
+            spans, all_lat, all_bs = [], [], []
+            for _ in range(3):
+                span, outs = one_pass()
+                spans.append(span)
+                all_lat.extend(o[0] for o in outs)
+                all_bs.extend(o[1] for o in outs)
+            lat = np.asarray(all_lat)
+            result["daemon_makespan_s"] = round(float(np.median(spans)), 3)
+            result["daemon_clips_per_s"] = round(
+                len(requests) / float(np.median(spans)), 3)
+            result["daemon_p50_s"] = round(float(np.percentile(lat, 50)), 3)
+            result["daemon_p99_s"] = round(float(np.percentile(lat, 99)), 3)
+            result["daemon_batch_size_mean"] = round(float(np.mean(all_bs)), 2)
+        finally:
+            srv.stop()
 
     if not quiet:
         print(json.dumps(result))

@@ -135,19 +135,97 @@ def test_concurrent_requests_coalesce(server, tmp_path):
 def test_validation_errors(server):
     _, port, clips, _ = server
     style_bvh, audio_wav = clips[0]
+    before = _get(port, "/stats")["requests_total"]
     cases = [
         {},  # no audio
         {"audio_path": "/nonexistent.wav", "style_path": str(style_bvh)},
         {"audio_path": str(audio_wav)},  # no style
+        {"audio_path": str(audio_wav), "styles": []},  # empty styles
+        {"audio_path": str(audio_wav), "styles": ["not-a-dict"]},
         {"audio_path": str(audio_wav), "style_label": "NotAStyle"},
+        {"audio_path": str(audio_wav), "style_label": 99},  # index range
         {"audio_path": str(audio_wav), "style_label": 0},  # label w/o first_pose
         {"audio_path": str(audio_wav), "style_path": str(style_bvh),
          "blend_ratio": [0.5, 0.5]},  # ratio len mismatch
+        {"audio_path": 12345, "style_path": str(style_bvh)},  # TypeError path
     ]
     for payload in cases:
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(port, payload)
         assert exc.value.code == 400, payload
 
-    stats_before = _get(port, "/stats")["requests_total"]
-    assert stats_before >= 0  # validation errors never reach the scheduler
+    # validation errors never reach the scheduler or the stats
+    assert _get(port, "/stats")["requests_total"] == before
+
+
+def test_hostile_file_name_is_not_a_path(server, tmp_path):
+    """A traversal-shaped file_name must be echoed back verbatim but never
+    shape a filesystem path (the server synthesizes under its own id)."""
+    _, port, clips, _ = server
+    style_bvh, audio_wav = clips[0]
+    evil = "../../outside/evil"
+    out = _post(port, {
+        "audio_path": str(audio_wav), "style_path": str(style_bvh),
+        "file_name": evil, "seed": 5,
+    })
+    assert out["file_name"] == evil
+    _check_bvh(out["bvh"], tmp_path, int(round(60 * 3.0)))
+    import pathlib
+
+    assert not (pathlib.Path("/tmp") / "outside").exists()
+
+
+def test_same_file_name_no_collision(server, tmp_path):
+    """Two concurrent requests with the SAME file_name but different seeds
+    must each get their own animation (server ids namespace the files)."""
+    _, port, clips, _ = server
+    style_bvh, audio_wav = clips[0]
+    results = [None, None]
+
+    def worker(i, seed):
+        results[i] = _post(port, {
+            "audio_path": str(audio_wav), "style_path": str(style_bvh),
+            "file_name": "same", "seed": seed,
+        })
+
+    threads = [threading.Thread(target=worker, args=(i, 1000 + i)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results[0]["bvh"] != results[1]["bvh"]  # different seeds
+    for r in results:
+        _check_bvh(r["bvh"], tmp_path, int(round(60 * 3.0)))
+
+
+def test_bad_request_does_not_fail_cobatched_neighbor(server, tmp_path):
+    """A request whose style BVH is corrupt fails at synthesis time (it
+    passes validation: the file exists); a valid request coalesced into
+    the same batch must still succeed via the per-job retry."""
+    _, port, clips, root = server
+    style_bvh, audio_wav = clips[0]
+    corrupt = root / "corrupt.bvh"
+    corrupt.write_text("HIERARCHY\nnot a real bvh\n")
+
+    results = {}
+
+    def good():
+        results["good"] = _post(port, {
+            "audio_path": str(audio_wav), "style_path": str(style_bvh), "seed": 2,
+        })
+
+    def bad():
+        try:
+            results["bad"] = _post(port, {
+                "audio_path": str(audio_wav), "style_path": str(corrupt), "seed": 2,
+            })
+        except urllib.error.HTTPError as e:
+            results["bad"] = e.code
+
+    threads = [threading.Thread(target=good), threading.Thread(target=bad)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["bad"] == 500
+    _check_bvh(results["good"]["bvh"], tmp_path, int(round(60 * 3.0)))

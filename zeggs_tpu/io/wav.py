@@ -84,7 +84,9 @@ def trim_silence(
     the surrounding ``min_silence_duration`` window is too — an isolated
     click inside the silence does not count as sound, while real audio
     (which dips through zero crossings, so strict sample contiguity would
-    never hold) does. With ``buffer_around_silence`` one
+    never hold) does. If NO sample meets the density quorum (clip shorter
+    than the window, or transient-only audio), plain above-threshold
+    samples anchor the boundaries instead of returning empty. With ``buffer_around_silence`` one
     ``min_silence_duration`` of the removed silence is kept adjacent to
     the audio. Multi-channel input is trimmed on the per-frame max
     amplitude across channels (all channels keep the same length).
@@ -96,10 +98,18 @@ def trim_silence(
         amp = amp.max(axis=tuple(range(1, amp.ndim)))
     loud = amp >= thresh
     run = max(1, int(round(min_silence_duration * fs)))
-    if run > 1:
-        near = np.convolve(loud.astype(np.int32), np.ones(run, np.int32), mode="same")
-        dense = loud & (near >= max(1, run // 8))
+    # convolve(mode="same") returns length max(len, window): clamp the
+    # density window to the clip so short clips don't shape-mismatch
+    win = min(run, len(loud)) if len(loud) else 1
+    if win > 1:
+        near = np.convolve(loud.astype(np.int32), np.ones(win, np.int32), mode="same")
+        dense = loud & (near >= max(1, win // 8))
     else:
+        dense = loud
+    if not dense.any():
+        # a transient shorter than the density quorum is still sound —
+        # fall back to plain loud-sample anchoring rather than returning
+        # an empty clip for legitimate (if tiny) audio
         dense = loud
     if not dense.any():
         return x[:0]

@@ -46,6 +46,9 @@ from ..infer.batch import Request, generate_batch
 @dataclass
 class _Job:
     request: Request
+    display_name: str = ""  # client-requested name (response only; the
+    # filesystem always uses request.file_name = a server-issued id, so a
+    # hostile or colliding client name can never shape a path)
     n_frames_hint: int = 0
     done: threading.Event = field(default_factory=threading.Event)
     bvh_text: Optional[str] = None
@@ -53,6 +56,7 @@ class _Job:
     t_enqueue: float = 0.0
     t_done: float = 0.0
     batch_size: int = 0
+    abandoned: bool = False  # handler gave up (504): skip synthesis
 
 
 class _Stats:
@@ -156,14 +160,18 @@ class GestureServer:
                     return
                 try:
                     job = server._make_job(payload)
-                except ValueError as e:
-                    self._reply(400, {"error": str(e)})
+                except Exception as e:
+                    # any malformed payload is the client's fault: 400,
+                    # never a dropped connection or a scheduler crash
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
                 server._queue.put(job)
                 # generous bound: first-ever rollout shape can compile for
                 # ~10 min through a remote-compile tunnel; a lost job
                 # (scheduler died) still gets a 504 instead of hanging
                 if not job.done.wait(timeout=3600):
+                    job.abandoned = True  # scheduler will skip it
+                    server.stats.record(3600e3, 0, error=True)
                     self._reply(504, {"error": "synthesis timed out"})
                     return
                 if job.error is not None:
@@ -175,7 +183,7 @@ class GestureServer:
                 latency_ms = (job.t_done - job.t_enqueue) * 1e3
                 server.stats.record(latency_ms, job.batch_size)
                 self._reply(200, {
-                    "file_name": job.request.file_name,
+                    "file_name": job.display_name,
                     "bvh": job.bvh_text,
                     "latency_ms": round(latency_ms, 1),
                     "batch_size": job.batch_size,
@@ -200,8 +208,15 @@ class GestureServer:
         {"label"} entries (or shorthand ``style_path`` / ``style_label``);
         optional ``temperature``, ``seed``, ``first_pose``, ``blend_type``,
         ``blend_ratio``, ``file_name``. Validation failures raise
-        ValueError -> HTTP 400 without touching the scheduler."""
-        name = str(payload.get("file_name") or self._next_name())
+        ValueError -> HTTP 400 without touching the scheduler.
+
+        The FILESYSTEM name is always a server-issued id (``r000042``):
+        a client-supplied ``file_name`` is echoed back in the response but
+        never shapes a path — no traversal via "../" or absolute names,
+        and no output collisions between co-batched requests that picked
+        the same name."""
+        name = self._next_name()
+        display_name = str(payload.get("file_name") or name)
 
         if payload.get("audio_wav_b64"):
             audio = self._tmp_root / "uploads" / f"{name}.wav"
@@ -223,8 +238,12 @@ class GestureServer:
                 raw_styles = [{"label": payload["style_label"]}]
             else:
                 raise ValueError("need styles / style_path / style_label")
+        if not raw_styles:
+            raise ValueError("styles must be non-empty")
         styles = []
         for s in raw_styles:
+            if not isinstance(s, dict):
+                raise ValueError(f"bad style entry: {s!r}")
             if "bvh_path" in s:
                 p = Path(s["bvh_path"])
                 if not p.is_file():
@@ -233,8 +252,12 @@ class GestureServer:
                 styles.append((p, frames))
             elif "label" in s:
                 label = s["label"]
-                if isinstance(label, str) and label not in self.pipe.label_names:
-                    raise ValueError(f"unknown label: {label}")
+                if isinstance(label, str):
+                    if label not in self.pipe.label_names:
+                        raise ValueError(f"unknown label: {label}")
+                elif not (isinstance(label, int)
+                          and 0 <= label < len(self.pipe.label_names)):
+                    raise ValueError(f"label index out of range: {label!r}")
                 styles.append(label)
             else:
                 raise ValueError(f"bad style entry: {s}")
@@ -262,7 +285,8 @@ class GestureServer:
             blend_type=str(payload.get("blend_type", "add")),
             blend_ratio=[float(r) for r in blend_ratio],
         )
-        job = _Job(request=req, t_enqueue=time.perf_counter())
+        job = _Job(request=req, display_name=display_name,
+                   t_enqueue=time.perf_counter())
         return job
 
     # -- scheduler -------------------------------------------------------
@@ -285,7 +309,8 @@ class GestureServer:
                 jobs.append(self._queue.get(timeout=remaining))
             except Empty:
                 break
-        return jobs
+        # a handler that already replied 504 has nobody reading the result
+        return [j for j in jobs if not j.abandoned]
 
     def _run_scheduler(self):
         while not self._stop.is_set():
@@ -298,30 +323,47 @@ class GestureServer:
 
     def _run_one_batch(self):
         jobs = self._drain_batch()
-        if jobs:
-            out_dir = self._tmp_root / f"batch_{time.monotonic_ns()}"
-            try:
-                generate_batch(
-                    self.pipe, [j.request for j in jobs], out_dir,
-                    bucket=self.bucket, max_batch=self.max_batch, mesh=self.mesh,
-                )
+        if not jobs:
+            return
+        try:
+            self._synthesize(jobs)
+        except Exception:
+            # one bad request (unreadable wav, wrong-fps style BVH, ...)
+            # must not fail its co-batched neighbours: retry each job on
+            # its own so only the offender reports the error
+            if len(jobs) > 1:
                 for j in jobs:
-                    bvh_file = out_dir / f"{j.request.file_name}.bvh"
-                    j.bvh_text = bvh_file.read_text()
-            except Exception as e:  # a failed batch fails its jobs, not the server
-                for j in jobs:
-                    j.error = f"{type(e).__name__}: {e}"
-            finally:
-                shutil.rmtree(out_dir, ignore_errors=True)
-                uploads = self._tmp_root / "uploads"
-                for j in jobs:  # b64-uploaded wavs are single-use
-                    if j.request.audio.parent == uploads:
-                        j.request.audio.unlink(missing_ok=True)
-                now = time.perf_counter()
-                for j in jobs:
-                    j.t_done = now
-                    j.batch_size = len(jobs)
-                    j.done.set()
+                    j.error = j.bvh_text = None  # cleared for the retry
+                    try:
+                        self._synthesize([j], batch_size=len(jobs))
+                    except Exception:
+                        pass  # the offender keeps its own j.error
+        finally:
+            uploads = self._tmp_root / "uploads"
+            for j in jobs:
+                if j.request.audio.parent == uploads:
+                    j.request.audio.unlink(missing_ok=True)  # single-use
+                j.done.set()
+
+    def _synthesize(self, jobs, batch_size=None):
+        out_dir = self._tmp_root / f"batch_{time.monotonic_ns()}"
+        try:
+            generate_batch(
+                self.pipe, [j.request for j in jobs], out_dir,
+                bucket=self.bucket, max_batch=self.max_batch, mesh=self.mesh,
+            )
+            for j in jobs:
+                j.bvh_text = (out_dir / f"{j.request.file_name}.bvh").read_text()
+        except Exception as e:
+            for j in jobs:
+                j.error = f"{type(e).__name__}: {e}"
+            raise
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            now = time.perf_counter()
+            for j in jobs:
+                j.t_done = now
+                j.batch_size = batch_size or len(jobs)
 
     # -- lifecycle -------------------------------------------------------
 

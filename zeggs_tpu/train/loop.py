@@ -344,9 +344,12 @@ class Trainer:
         then wait indefinitely."""
         if self.n_proc == 1:
             return self.train_step(*args)
+        # key on the DATA args only (args[0:2] = params/opt_state have
+        # fixed shapes after __init__; hashing their thousands of leaves
+        # every step would put pure overhead in the hot loop)
         key = tuple(
             (tuple(getattr(a, "shape", ())), str(getattr(a, "dtype", type(a))))
-            for a in jax.tree.leaves(args)
+            for a in jax.tree.leaves(args[2:])
         )
         exe = self._step_exe.get(key)
         if exe is None:
