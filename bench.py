@@ -231,13 +231,38 @@ def stage_core():
 # orchestrator
 # ---------------------------------------------------------------------------
 
-def _run_stage(argv, timeout):
+def _probe_tpu(attempts=3, probe_timeout=90, backoff=30):
+    """Is the TPU backend reachable? Probed in a BOUNDED subprocess: when
+    the axon tunnel is down, in-process backend init HANGS indefinitely
+    (observed: multi-hour outages) rather than raising, so the parent
+    process must never touch jax itself before knowing."""
+    code = "import jax; print(jax.devices()[0].platform)"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                                  text=True, timeout=probe_timeout)
+            platform = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            if proc.returncode == 0 and platform and platform != "cpu":
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(backoff)
+    return False
+
+
+def _run_stage(argv, timeout, env=None):
     """Run one bench stage in its own process; return its final JSON line.
     Stage stderr (progress lines) is forwarded to our stderr."""
     import re
 
+    full_env = None
+    if env:
+        full_env = dict(os.environ)
+        full_env.update(env)
     proc = subprocess.run([sys.executable] + argv, capture_output=True, text=True,
-                          timeout=timeout, cwd=_REPO)
+                          timeout=timeout, cwd=_REPO, env=full_env)
     if proc.stderr.strip():
         for ln in proc.stderr.strip().splitlines():
             # drop jax WARNINGs and glog spam ([EIWF]MMDD prefix)
@@ -256,7 +281,26 @@ def main():
         stage_core()
         return
 
-    core = _run_stage([os.path.join(_REPO, "bench.py"), "--stage", "core"], timeout=2400)
+    # The axon tunnel has multi-hour outages during which backend init
+    # HANGS (not errors). Probe first in a bounded subprocess; if the chip
+    # is unreachable, run the whole bench on CPU — a JSON line marked
+    # platform=cpu beats a missing artifact for the round.
+    stage_env = None
+    if not _probe_tpu():
+        print("# TPU unreachable: falling back to CPU for all stages",
+              file=sys.stderr)
+        stage_env = {"JAX_PLATFORMS": "cpu"}
+
+    core_argv = [os.path.join(_REPO, "bench.py"), "--stage", "core"]
+    try:
+        core = _run_stage(core_argv, timeout=2400, env=stage_env)
+    except (RuntimeError, subprocess.TimeoutExpired):
+        if stage_env is not None:
+            raise
+        # tunnel died mid-run: record CPU numbers instead of nothing
+        print("# TPU stage failed: retrying all stages on CPU", file=sys.stderr)
+        stage_env = {"JAX_PLATFORMS": "cpu"}
+        core = _run_stage(core_argv, timeout=2400, env=stage_env)
     on_tpu = core["platform"] != "cpu"
 
     # training throughput (device-resident corpus, full v1 dims, batch 32 x
@@ -296,6 +340,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(core["best_fps"] / baseline, 3),
         "extra": {
+            # "cpu" here means the TPU tunnel was down and the numbers are
+            # the CPU-fallback measurement, not chip performance
+            "platform": core["platform"],
             "b1_latency_10s_clip_ms": core["lat_ms"],
             **({"b1_latency_int8_ms": core["lat8_ms"]} if core["lat8_ms"] else {}),
             **({"batched_int8_fps": core["fps8"]} if core["fps8"] else {}),
