@@ -3,6 +3,7 @@ CPU jax.distributed cluster (4 virtual devices each, 8 global) running the
 real Trainer over a shared synthetic corpus.
 
 argv: coordinator nproc pid corpus_dir out_dir n_iter device_corpus(0|1)
+      [resume(0|1)]
 """
 
 import os
@@ -11,6 +12,7 @@ import sys
 
 def main():
     coordinator, nproc, pid, corpus_dir, out_dir, n_iter, device_corpus = sys.argv[1:8]
+    resume = bool(int(sys.argv[8])) if len(sys.argv) > 8 else False
     # force exactly 4 virtual devices per process, replacing any inherited
     # count (the spawning pytest process runs with 8)
     import re
@@ -39,14 +41,20 @@ def main():
     corpus = Path(corpus_dir)
     out = Path(out_dir)
     trainer = Trainer(
-        trainer_opts(),
-        models_dir=out / f"models_p{pid}",
+        trainer_opts(resume=resume),
+        # SHARED models dir, per the multi-host contract (shared
+        # filesystem): rank 0 writes checkpoints, every rank resumes
+        # from the same files
+        models_dir=out / "models_shared",
         logs_dir=out / f"logs_p{pid}",
         path_processed_data=corpus / "processed" / "processed_data.npz",
         path_data_definition=corpus / "processed" / "data_definition.json",
         device_corpus=bool(int(device_corpus)),
     )
+    if resume:
+        assert trainer.iteration > 0, "resume found no checkpoint"
     trainer.run(max_iterations=int(n_iter), log_every=10**9)
+    trainer.save_checkpoint()  # rank-0-gated internally
     if jax.process_index() == 0:
         checkpoint.save(out / "params_multihost.npz", jax.device_get(trainer.params))
     print(f"worker {pid}: done at iteration {trainer.iteration}", flush=True)

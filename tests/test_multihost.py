@@ -35,14 +35,14 @@ pytestmark = pytest.mark.slow
 N_ITER = 3
 
 
-def trainer_opts():
+def trainer_opts(resume=False):
     """Shared by this test and tests/multihost_worker.py — MUST be
     identical in both processes and the single-process reference run."""
     base = small_options()
     return C.Options(
         net=base.net,
         train=C.TrainConfig(
-            batchsize=8, window=32, niterations=1, seed=77,
+            batchsize=8, window=32, niterations=1, seed=77, resume=resume,
             generate_samples_step=10_000, use_tensorboard=False,
             # unroll=1: this test proves multi-process == single-process
             # semantics, and the smaller programs keep the 2-worker CPU
@@ -71,14 +71,15 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_cluster(corpus, out, device_corpus):
+def _run_cluster(corpus, out, device_corpus, n_iter=N_ITER, resume=False):
     port = _free_port()
     worker = Path(__file__).parent / "multihost_worker.py"
     procs = [
         subprocess.Popen(
             [
                 sys.executable, str(worker), f"localhost:{port}", "2", str(pid),
-                str(corpus), str(out), str(N_ITER), str(int(device_corpus)),
+                str(corpus), str(out), str(n_iter), str(int(device_corpus)),
+                str(int(resume)),
             ],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -91,16 +92,16 @@ def _run_cluster(corpus, out, device_corpus):
     return params
 
 
-def _run_single(corpus, device_corpus):
+def _run_single(corpus, device_corpus, n_iter=N_ITER, subdir="sp"):
     trainer = Trainer(
         trainer_opts(),
-        models_dir=corpus / "sp_models",
-        logs_dir=corpus / "sp_logs",
+        models_dir=corpus / f"{subdir}_models",
+        logs_dir=corpus / f"{subdir}_logs",
         path_processed_data=corpus / "processed" / "processed_data.npz",
         path_data_definition=corpus / "processed" / "data_definition.json",
         device_corpus=device_corpus,
     )
-    trainer.run(max_iterations=N_ITER, log_every=10**9)
+    trainer.run(max_iterations=n_iter, log_every=10**9)
     return jax.device_get(trainer.params)
 
 
@@ -124,3 +125,32 @@ def test_two_process_training_equals_single_process(corpus, tmp_path, device_cor
     mh_params = _run_cluster(corpus, tmp_path, device_corpus)
     sp_params = _run_single(corpus, device_corpus)
     _assert_equal(mh_params, sp_params, "device-corpus" if device_corpus else "host-batches")
+
+
+def test_two_process_resume_is_lossless(corpus, tmp_path):
+    """Kill/resume under the 2-process cluster: train one epoch, let
+    rank 0 checkpoint to the SHARED models dir, tear the cluster down,
+    bring a fresh cluster up with resume=True for a second epoch — the
+    final parameters must equal an uninterrupted single-process
+    two-epoch run (iteration/epoch/host-RNG/PRNG-key all continue across
+    the restart, on every rank). Resume at an epoch boundary, like the
+    single-host lossless-resume test: the permutation is drawn per epoch."""
+    from tests.synthetic import small_options
+    from zeggs_tpu.data.dataset import WindowedDataset
+
+    opts = trainer_opts()
+    probe = WindowedDataset(
+        corpus / "processed" / "data_definition.json",
+        corpus / "processed" / "processed_data.npz",
+        opts.train.window, style_encoding_type="example",
+        example_length=small_options().net.style_encoder.example_length,
+    )
+    bpe = len(probe) // opts.train.batchsize  # batches per epoch
+    assert bpe >= 2
+
+    _run_cluster(corpus, tmp_path, device_corpus=True, n_iter=bpe)
+    mh_params = _run_cluster(
+        corpus, tmp_path, device_corpus=True, n_iter=2 * bpe, resume=True
+    )
+    sp_params = _run_single(corpus, device_corpus=True, n_iter=2 * bpe, subdir="sp_resume")
+    _assert_equal(mh_params, sp_params, "resume")
