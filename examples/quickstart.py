@@ -85,8 +85,38 @@ def main():
 
     out = root / "outputs" / "quickstart" / "results" / "quickstart_demo.bvh"
     anim = bvh.load(out)
-    print(f"== done: {out} ({anim['rotations'].shape[0]} frames, "
+    print(f"== generated: {out} ({anim['rotations'].shape[0]} frames, "
           f"{len(anim['names'])} joints)")
+
+    print("== 5. serve the same model over HTTP (dynamic micro-batching)")
+    import urllib.request
+
+    from zeggs_tpu.config import Options
+    from zeggs_tpu.infer import GesturePipeline
+    from zeggs_tpu.serve import GestureServer
+
+    run_opts = json.loads(run_options.read_text())
+    pipe = GesturePipeline(
+        Path(run_opts["paths"]["models_dir"]),
+        root / "processed",
+        options=Options.from_options_dict(run_opts),
+    )
+    server = GestureServer(pipe, max_wait_ms=20)
+    port = server.start()
+    body = json.dumps({
+        "audio_path": str(root / "original" / "001_Synth_1.wav"),
+        "style_path": str(root / "original" / "000_Synth_0.bvh"),
+        "seed": 42,
+    }).encode()
+    with urllib.request.urlopen(
+        urllib.request.Request(f"http://127.0.0.1:{port}/synthesize", data=body),
+        timeout=600,
+    ) as r:
+        resp = json.loads(r.read())
+    server.stop()
+    n_lines = resp["bvh"].count("\n")
+    print(f"== done: HTTP response carried {n_lines}-line BVH "
+          f"(batch_size={resp['batch_size']}, {resp['latency_ms']:.0f} ms)")
 
 
 if __name__ == "__main__":
