@@ -143,8 +143,26 @@ def test_orthogonalize_svd_handles_reflection():
     _assert_rotation(out, atol=1e-5)
 
 
+def _rodrigues_np(angle, axis):
+    # pure-numpy Rodrigues rotation matrix (anim/xform.py:46-55), kept
+    # independent of xform.from_angle_axis so the iterative parity check
+    # below does not test the module against itself
+    a = angle[..., None, None]
+    c, s, t = np.cos(a), np.sin(a), 1.0 - np.cos(a)
+    a0 = axis[..., 0, None, None]
+    a1 = axis[..., 1, None, None]
+    a2 = axis[..., 2, None, None]
+    row = lambda *cols: np.concatenate(cols, axis=-1)
+    return np.concatenate([
+        row(c + a0 * a0 * t, a0 * a1 * t - a2 * s, a0 * a2 * t + a1 * s),
+        row(a0 * a1 * t + a2 * s, c + a1 * a1 * t, a1 * a2 * t - a0 * s),
+        row(a0 * a2 * t - a1 * s, a1 * a2 * t + a0 * s, c + a2 * a2 * t),
+    ], axis=-2)
+
+
 def _iterative_ref(ts, iterations, eps=1e-5):
-    # direct numpy transcription of anim/xform.py:133-153
+    # direct numpy transcription of anim/xform.py:133-153 (fp64 accumulate)
+    ts = ts.astype(np.float64)
     Rm = np.broadcast_to(np.eye(3, dtype=ts.dtype), ts.shape).copy()
     for _ in range(iterations):
         omega = (
@@ -156,9 +174,52 @@ def _iterative_ref(ts, iterations, eps=1e-5):
             + np.sum(Rm[..., :, 1] * ts[..., :, 1], -1)[..., None]
             + np.sum(Rm[..., :, 2] * ts[..., :, 2], -1)[..., None]) + eps)
         w = np.sqrt(np.sum(omega ** 2, -1))
-        aa = np.asarray(xform.from_angle_axis(w, omega / (w[..., None] + eps)))
-        Rm = np.matmul(aa, Rm)
+        Rm = np.matmul(_rodrigues_np(w, omega / (w[..., None] + eps)), Rm)
     return Rm
+
+
+@pytest.mark.tpu
+def test_orthogonalize_iterative_tpu_matches_numpy_reference():
+    """On the real chip, TPU matmuls default to bf16 passes (~3e-3 rel err);
+    the module pins fp32 matmul precision (ADVICE r3 medium). Parity is
+    asserted in the algorithm's contractive basin — targets within ~1.2 rad
+    of the identity init — where fp32 vs fp64 agree to ~3e-7. (Outside that
+    basin the reference iteration is genuinely chaotic: when the target is
+    near 180 deg from R, align -> 0 blows up omega and fp32-vs-fp64 round-off
+    alone diverges up to ~1.4 absolute, measured on CPU — so far-from-init
+    inputs cannot certify backend precision.) A removed precision pin shows
+    up as ~3e-3 bf16 noise >> the 1e-5 tolerance here."""
+    import jax
+
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(7)
+    ax = rng.normal(size=(64, 3))
+    ax /= np.linalg.norm(ax, axis=-1, keepdims=True)
+    ang = rng.uniform(0.0, 1.2, 64)
+    clean = R.from_rotvec(ang[:, None] * ax).as_matrix().astype(np.float32)
+    noisy = (clean + 0.05 * rng.normal(size=clean.shape)).astype(np.float32)
+    for iters in (4, 8):
+        it = np.asarray(jax.jit(
+            lambda t: xform.orthogonalize_iterative(t, iterations=iters))(noisy))
+        ref = _iterative_ref(noisy, iterations=iters)
+        np.testing.assert_allclose(it, ref, atol=1e-5)
+
+
+@pytest.mark.tpu
+def test_psolve_tpu_matches_numpy_reference():
+    """psolve's Gram matmuls pin fp32 precision so the eps**2 regularizer
+    is not swamped by bf16 matmul noise on TPU (ADVICE r3 low)."""
+    import jax
+
+    assert jax.default_backend() == "tpu"
+    eps = 0.5
+    for m, n in [(3, 5), (5, 3), (4, 4)]:
+        xs = RNG.normal(size=(6, m, n)).astype(np.float32)
+        ys = RNG.normal(size=(6, m, 2)).astype(np.float32)
+        ours = np.asarray(jax.jit(lambda x, y: xform.psolve(x, y, eps=eps))(xs, ys))
+        for i in range(6):
+            np.testing.assert_allclose(ours[i], _psolve_ref(xs[i], ys[i], eps),
+                                       rtol=1e-3, atol=1e-4)
 
 
 def test_orthogonalize_iterative_matches_reference_and_converges():

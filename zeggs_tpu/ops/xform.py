@@ -9,7 +9,14 @@ batch it — here every function batches; its svd ``orthogonalize`` calls a
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# TPU matmul defaults to bf16 passes (~3e-3 rel err even for 3x3); the
+# fixed-point iteration in orthogonalize_iterative amplifies that noise and
+# psolve's eps**2=1e-10 regularizer is swamped by it. Every matmul in this
+# module therefore pins full fp32 accumulation.
+_F32 = jax.lax.Precision.HIGHEST
 
 
 def transpose(xform):
@@ -65,11 +72,11 @@ def psolve(x, y, eps=1e-5):
     m, n = x.shape[-2], x.shape[-1]
     xt = transpose(x)
     if m < n:
-        a = jnp.matmul(xt, x) + (eps * eps) * jnp.eye(n, dtype=x.dtype)
-        return transpose(jnp.linalg.solve(a, jnp.matmul(xt, y)))
+        a = jnp.matmul(xt, x, precision=_F32) + (eps * eps) * jnp.eye(n, dtype=x.dtype)
+        return transpose(jnp.linalg.solve(a, jnp.matmul(xt, y, precision=_F32)))
     if m > n:
-        a = jnp.matmul(x, xt) + (eps * eps) * jnp.eye(m, dtype=x.dtype)
-        return transpose(jnp.matmul(xt, jnp.linalg.solve(a, y)))
+        a = jnp.matmul(x, xt, precision=_F32) + (eps * eps) * jnp.eye(m, dtype=x.dtype)
+        return transpose(jnp.matmul(xt, jnp.linalg.solve(a, y), precision=_F32))
     a = x + (eps * eps) * jnp.eye(m, dtype=x.dtype)
     return transpose(jnp.linalg.solve(a, y))
 
@@ -238,5 +245,6 @@ def orthogonalize_iterative(ts, R=None, iterations=4, eps=1e-5):
         )[..., None]
         omega = torque / (align + eps)
         w = jnp.linalg.norm(omega, axis=-1)
-        R = jnp.matmul(from_angle_axis(w, omega / (w[..., None] + eps)), R)
+        R = jnp.matmul(from_angle_axis(w, omega / (w[..., None] + eps)), R,
+                       precision=_F32)
     return R
