@@ -275,64 +275,12 @@ def _run_stage(argv, timeout, env=None):
     return json.loads(lines[-1])
 
 
-def main():
-    if "--stage" in sys.argv:
-        assert sys.argv[sys.argv.index("--stage") + 1] == "core"
-        stage_core()
-        return
-
-    # The axon tunnel has multi-hour outages during which backend init
-    # HANGS (not errors). Probe first in a bounded subprocess; if the chip
-    # is unreachable, run the whole bench on CPU — a JSON line marked
-    # platform=cpu beats a missing artifact for the round.
-    stage_env = None
-    if not _probe_tpu():
-        print("# TPU unreachable: falling back to CPU for all stages",
-              file=sys.stderr)
-        stage_env = {"JAX_PLATFORMS": "cpu"}
-
-    core_argv = [os.path.join(_REPO, "bench.py"), "--stage", "core"]
-    try:
-        core = _run_stage(core_argv, timeout=2400, env=stage_env)
-    except (RuntimeError, subprocess.TimeoutExpired):
-        if stage_env is not None:
-            raise
-        # tunnel died mid-run: record CPU numbers instead of nothing
-        print("# TPU stage failed: retrying all stages on CPU", file=sys.stderr)
-        stage_env = {"JAX_PLATFORMS": "cpu"}
-        core = _run_stage(core_argv, timeout=2400, env=stage_env)
-    on_tpu = core["platform"] != "cpu"
-
-    # training throughput (device-resident corpus, full v1 dims, batch 32 x
-    # 256 frames) — regresses the it/s headlines in docs/DESIGN.md §3b
-    # (fp32 recipe dtype and the bf16 fast path)
-    train_res = train_bf16_res = None
-    if on_tpu and os.environ.get("ZEGGS_BENCH_TRAIN", "1") != "0":
-        try:
-            train_res = _run_stage(
-                [os.path.join(_REPO, "scripts", "device_train_bench.py"), "--json"],
-                timeout=1800)
-        except Exception as e:
-            print(f"# train bench failed: {e}", file=sys.stderr)
-        try:
-            train_bf16_res = _run_stage(
-                [os.path.join(_REPO, "scripts", "device_train_bench.py"), "--json",
-                 "--bf16"],
-                timeout=1800)
-        except Exception as e:
-            print(f"# train bf16 bench failed: {e}", file=sys.stderr)
-
-    # end-to-end serving (20-clip CSV replay: featurization + rollouts +
-    # BVH writes; batched makespan + sequential p50/p99)
-    serve_res = None
-    if on_tpu and os.environ.get("ZEGGS_BENCH_SERVE", "1") != "0":
-        try:
-            serve_res = _run_stage(
-                [os.path.join(_REPO, "scripts", "bench_serve.py"), "--requests", "20"],
-                timeout=1800)
-        except Exception as e:
-            print(f"# serve bench failed: {e}", file=sys.stderr)
-
+def _emit(core, extras):
+    """Print the full artifact JSON line. Called after the core stage and
+    re-called after EVERY optional stage completes, so whatever line is
+    LAST when this process is killed is a complete, parseable artifact
+    (the r3 driver run was timed out before the single final print and the
+    round lost its headline number — VERDICT r3 item 1)."""
     baseline = 20 * 60.0  # 20x realtime per chip
     print(json.dumps({
         "metric": "gesture_frames_per_sec_per_chip",
@@ -354,11 +302,100 @@ def main():
                 if core["lat_cold_ms"]
                 else {}
             ),
-            **({"train": train_res} if train_res else {}),
-            **({"train_bf16": train_bf16_res} if train_bf16_res else {}),
-            **({"serve": serve_res} if serve_res else {}),
+            **extras,
         },
-    }))
+    }), flush=True)
+
+
+def main():
+    if "--stage" in sys.argv:
+        assert sys.argv[sys.argv.index("--stage") + 1] == "core"
+        stage_core()
+        return
+
+    # Total wall-clock budget for the WHOLE bench (env-overridable). The
+    # driver kills bench.py with an external timeout; every optional stage
+    # only runs while budget remains, and the artifact line is re-printed
+    # after each stage, so one slow compile can never cost the round its
+    # headline number again.
+    budget_s = float(os.environ.get("ZEGGS_BENCH_BUDGET_S", "1140"))
+    t_start = time.time()
+
+    def remaining():
+        return budget_s - (time.time() - t_start)
+
+    # The axon tunnel has multi-hour outages during which backend init
+    # HANGS (not errors). Probe first in a bounded subprocess; if the chip
+    # is unreachable, run the whole bench on CPU — a JSON line marked
+    # platform=cpu beats a missing artifact for the round.
+    stage_env = None
+    if not _probe_tpu():
+        print("# TPU unreachable: falling back to CPU for all stages",
+              file=sys.stderr)
+        stage_env = {"JAX_PLATFORMS": "cpu"}
+
+    core_argv = [os.path.join(_REPO, "bench.py"), "--stage", "core"]
+    core_timeout = max(300.0, remaining() - 60.0)
+    try:
+        core = _run_stage(core_argv, timeout=core_timeout, env=stage_env)
+    except (RuntimeError, subprocess.TimeoutExpired):
+        if stage_env is not None:
+            raise
+        # tunnel died mid-run: record CPU numbers instead of nothing
+        print("# TPU stage failed: retrying all stages on CPU", file=sys.stderr)
+        stage_env = {"JAX_PLATFORMS": "cpu"}
+        core = _run_stage(core_argv, timeout=max(300.0, remaining() - 30.0),
+                          env=stage_env)
+    on_tpu = core["platform"] != "cpu"
+
+    # Headline artifact FIRST — everything after this only enriches it.
+    extras = {}
+    _emit(core, extras)
+
+    # Optional stages, in priority order. Each entry: (extra-key, argv,
+    # estimated seconds, env-gate). Estimates are warm-persistent-cache
+    # costs plus margin; a stage only launches while the remaining budget
+    # covers its estimate, and its subprocess timeout is clamped to the
+    # remaining budget so the orchestrator always outlives it.
+    stages = []
+    if on_tpu and os.environ.get("ZEGGS_BENCH_TRAIN", "1") != "0":
+        # training throughput (device-resident corpus, full v1 dims, batch
+        # 32 x 256 frames) — regresses the it/s headlines in DESIGN.md §3b.
+        # ~120 s on a persistent-cache hit, ~280 s on a miss.
+        stages.append(("train",
+                       [os.path.join(_REPO, "scripts", "device_train_bench.py"),
+                        "--json"], 320))
+        stages.append(("train_bf16",
+                       [os.path.join(_REPO, "scripts", "device_train_bench.py"),
+                        "--json", "--bf16"], 320))
+    if on_tpu and os.environ.get("ZEGGS_BENCH_SERVE", "1") != "0":
+        # end-to-end serving (20-clip CSV replay: featurization + rollouts +
+        # BVH writes; batched makespan + sequential p50/p99 + the HTTP
+        # daemon under 20-way concurrent load: p50/p99 + 429/504 accounting)
+        stages.append(("serve",
+                       [os.path.join(_REPO, "scripts", "bench_serve.py"),
+                        "--requests", "20", "--daemon"], 480))
+    if on_tpu and os.environ.get("ZEGGS_BENCH_STREAMING", "1") != "0":
+        # live streaming session: time-to-first-frame, per-push latency,
+        # realtime factor (VERDICT r3 item 6)
+        stages.append(("streaming",
+                       [os.path.join(_REPO, "scripts", "bench_streaming.py"),
+                        "--seconds", "30"], 240))
+
+    for key, argv, est in stages:
+        if remaining() < est:
+            extras[key] = {"skipped_over_budget": True,
+                           "remaining_s": round(remaining(), 1)}
+            print(f"# stage {key} skipped: {remaining():.0f}s budget left "
+                  f"< {est}s estimate", file=sys.stderr)
+            _emit(core, extras)
+            continue
+        try:
+            extras[key] = _run_stage(argv, timeout=max(60.0, remaining() - 20.0))
+        except Exception as e:
+            print(f"# {key} bench failed: {e}", file=sys.stderr)
+            extras[key] = {"failed": str(e)[:300]}
+        _emit(core, extras)
 
 
 if __name__ == "__main__":

@@ -257,6 +257,10 @@ def main(argv=None, quiet=False):
             result["daemon_p50_s"] = round(float(np.percentile(lat, 50)), 3)
             result["daemon_p99_s"] = round(float(np.percentile(lat, 99)), 3)
             result["daemon_batch_size_mean"] = round(float(np.mean(all_bs)), 2)
+            snap = srv.stats.snapshot()
+            result["daemon_rejected_total"] = snap["rejected_total"]
+            result["daemon_timeouts_total"] = snap["timeouts_total"]
+            result["daemon_errors_total"] = snap["errors_total"]
         finally:
             srv.stop()
 

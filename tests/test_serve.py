@@ -198,6 +198,224 @@ def test_same_file_name_no_collision(server, tmp_path):
         _check_bvh(r["bvh"], tmp_path, int(round(60 * 3.0)))
 
 
+def _post_code(port, payload, timeout=60):
+    """POST returning (status_code, body-dict) without raising."""
+    try:
+        return 200, _post(port, payload, timeout=timeout)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+@pytest.fixture()
+def slow_server(tmp_path_factory):
+    """Fresh server whose synthesis is an artificial 0.3 s sleep: load
+    tests need a deterministically-busy scheduler, not real rollouts."""
+    import time
+
+    root = tmp_path_factory.mktemp("slow_serve")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=1, nframes=120)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    srv = GestureServer(pipe, max_batch=2, max_wait_ms=10, max_queue=4,
+                        request_timeout_s=30.0, drain_s=10.0)
+
+    def fake_synthesize(jobs, batch_size=None):
+        time.sleep(0.3)
+        now = time.perf_counter()
+        for j in jobs:
+            j.bvh_text = "FAKE_BVH"
+            j.t_done = now
+            j.batch_size = batch_size or len(jobs)
+
+    srv._synthesize = fake_synthesize
+    port = srv.start()
+    yield srv, port, clips
+    srv.stop()
+
+
+def test_burst_beyond_queue_gets_429_and_stays_bounded(slow_server):
+    """24 concurrent clients against max_queue=4/max_batch=2: the overflow
+    must get instant 429 + Retry-After (not unbounded queue/thread growth),
+    the admitted ones must all complete, and the accounting must add up
+    (VERDICT r3 item 4)."""
+    import time
+
+    srv, port, clips = slow_server
+    style_bvh, audio_wav = clips[0]
+    payload = {"audio_path": str(audio_wav), "style_path": str(style_bvh)}
+
+    n_clients = 24
+    results = [None] * n_clients
+    threads_before = threading.active_count()
+
+    def client(i):
+        results[i] = _post_code(port, dict(payload, seed=i))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    codes = [c for c, _ in results]
+    n_ok, n_429 = codes.count(200), codes.count(429)
+    assert n_ok + n_429 == n_clients, codes
+    assert n_429 >= 1, "burst of 24 into a 4-deep queue must overflow"
+    assert n_ok >= 4, "admitted requests must still complete"
+    for c, body in results:
+        if c == 200:
+            assert body["bvh"] == "FAKE_BVH"
+        else:
+            assert "queue full" in body["error"]
+
+    stats = _get(port, "/stats")
+    assert stats["rejected_total"] == n_429
+    assert stats["requests_total"] == n_ok  # 429s never reach the scheduler
+    # queue drained and handler threads exited: no unbounded growth
+    assert srv._queue.qsize() == 0
+    time.sleep(0.5)
+    assert threading.active_count() <= threads_before + 4
+
+
+def test_429_carries_retry_after_header(slow_server):
+    srv, port, clips = slow_server
+    style_bvh, audio_wav = clips[0]
+    payload = {"audio_path": str(audio_wav), "style_path": str(style_bvh)}
+    # fill the queue while the scheduler sleeps, then one more must bounce
+    headers = {}
+
+    def client(i):
+        try:
+            _post(port, dict(payload, seed=i))
+        except urllib.error.HTTPError as e:
+            headers[i] = dict(e.headers)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    bounced = [h for h in headers.values()]
+    assert bounced, "expected at least one 429 out of 12-into-4"
+    assert all(int(h.get("Retry-After", 0)) >= 1 for h in bounced)
+
+
+def test_request_timeout_returns_504(tmp_path_factory):
+    """A handler whose batch exceeds request_timeout_s must answer 504 and
+    count in timeouts_total; the scheduler then skips the abandoned job and
+    keeps serving."""
+    import time
+
+    root = tmp_path_factory.mktemp("timeout_serve")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=1, nframes=120)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    srv = GestureServer(pipe, max_batch=2, max_wait_ms=10,
+                        request_timeout_s=0.3, drain_s=5.0)
+    slow = {"sleep": 1.0}
+
+    def fake_synthesize(jobs, batch_size=None):
+        time.sleep(slow["sleep"])
+        now = time.perf_counter()
+        for j in jobs:
+            j.bvh_text = "FAKE_BVH"
+            j.t_done = now
+            j.batch_size = batch_size or len(jobs)
+
+    srv._synthesize = fake_synthesize
+    port = srv.start()
+    try:
+        style_bvh, audio_wav = clips[0]
+        payload = {"audio_path": str(audio_wav), "style_path": str(style_bvh)}
+        code, body = _post_code(port, payload)
+        assert code == 504 and "timed out" in body["error"]
+        assert _get(port, "/stats")["timeouts_total"] == 1
+        # server still alive and serving after the abandoned job
+        slow["sleep"] = 0.0
+        time.sleep(1.2)  # let the abandoned batch finish on the scheduler
+        code, body = _post_code(port, payload)
+        assert code == 200 and body["bvh"] == "FAKE_BVH"
+    finally:
+        srv.stop()
+
+
+def test_b64_only_mode_rejects_paths_but_serves_uploads(tmp_path_factory, tmp_path):
+    """allow_paths=False (the non-loopback default) must reject every path
+    payload field with 400 while the b64 upload forms still synthesize."""
+    root = tmp_path_factory.mktemp("b64_serve")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=1, nframes=120)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    srv = GestureServer(pipe, max_batch=4, max_wait_ms=10, allow_paths=False)
+    port = srv.start()
+    try:
+        style_bvh, audio_wav = clips[0]
+        audio_b64 = base64.b64encode(audio_wav.read_bytes()).decode()
+        style_b64 = base64.b64encode(style_bvh.read_bytes()).decode()
+
+        for payload in (
+            {"audio_path": str(audio_wav), "style_path": str(style_bvh)},
+            {"audio_wav_b64": audio_b64, "style_path": str(style_bvh)},
+            {"audio_wav_b64": audio_b64, "styles": [{"bvh_path": str(style_bvh)}]},
+            {"audio_wav_b64": audio_b64, "styles": [{"bvh_b64": style_b64}],
+             "first_pose": str(style_bvh)},
+        ):
+            code, body = _post_code(port, payload)
+            assert code == 400 and "disabled" in body["error"], payload
+
+        code, body = _post_code(port, {
+            "audio_wav_b64": audio_b64,
+            "styles": [{"bvh_b64": style_b64}],
+            "first_pose_bvh_b64": style_b64,
+            "seed": 9,
+        }, timeout=600)
+        assert code == 200
+        _check_bvh(body["bvh"], tmp_path, int(round(60 * 2.0)))
+        # uploads are single-use: nothing left behind
+        uploads = srv._tmp_root / "uploads"
+        assert not any(uploads.glob("*")) if uploads.exists() else True
+    finally:
+        srv.stop()
+
+
+def test_default_allow_paths_follows_bind_host(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bind_serve")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=1, nframes=120)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    loop = GestureServer(pipe, host="127.0.0.1")
+    assert loop.allow_paths is True
+    loop._httpd.server_close()
+    public = GestureServer(pipe, host="0.0.0.0")
+    assert public.allow_paths is False
+    public._httpd.server_close()
+
+
+def test_graceful_drain_on_stop(slow_server):
+    """stop() must answer queued work (drain) and refuse new admissions,
+    never leaving a client hanging."""
+    import time
+
+    srv, port, clips = slow_server
+    style_bvh, audio_wav = clips[0]
+    payload = {"audio_path": str(audio_wav), "style_path": str(style_bvh)}
+
+    results = []
+    threads = [
+        threading.Thread(target=lambda i=i: results.append(
+            _post_code(port, dict(payload, seed=i))))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.1)  # let them enqueue
+    t_stop = threading.Thread(target=srv.stop)
+    t_stop.start()
+    for t in threads:
+        t.join(timeout=15)
+        assert not t.is_alive(), "client hung through graceful drain"
+    t_stop.join(timeout=15)
+    assert not t_stop.is_alive()
+    for code, body in results:
+        assert code in (200, 500, 503), (code, body)
+
+
 def test_bad_request_does_not_fail_cobatched_neighbor(server, tmp_path):
     """A request whose style BVH is corrupt fails at synthesis time (it
     passes validation: the file exists); a valid request coalesced into

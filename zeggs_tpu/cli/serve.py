@@ -36,6 +36,17 @@ def build_parser():
                    help="rollout length padding quantum (frames)")
     p.add_argument("--int8", action="store_true",
                    help="int8 quantized rollouts (pose MAE 3-5e-4, budget 1e-3)")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="admission bound: bursts beyond it get HTTP 429")
+    p.add_argument("--request-timeout-s", type=float, default=900.0,
+                   help="handler deadline before a 504 (cover first-shape compiles)")
+    paths = p.add_mutually_exclusive_group()
+    paths.add_argument("--allow-paths", dest="allow_paths", action="store_true",
+                       default=None,
+                       help="allow audio_path/bvh_path payload fields that read "
+                            "server-visible files (default: loopback binds only)")
+    paths.add_argument("--b64-only", dest="allow_paths", action="store_false",
+                       help="reject path payload fields even on loopback")
     return p
 
 
@@ -60,9 +71,12 @@ def main(argv=None):
     server = GestureServer(
         pipe, host=args.host, port=args.port, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, bucket=args.bucket,
+        max_queue=args.max_queue, request_timeout_s=args.request_timeout_s,
+        allow_paths=args.allow_paths,
     )
     print(f"serving on {args.host}:{server.port} "
-          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms})")
+          f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms}, "
+          f"max_queue={args.max_queue}, allow_paths={server.allow_paths})")
     server.serve_forever()
 
 

@@ -35,7 +35,7 @@ import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 from typing import Optional
 
 import numpy as np
@@ -57,6 +57,7 @@ class _Job:
     t_done: float = 0.0
     batch_size: int = 0
     abandoned: bool = False  # handler gave up (504): skip synthesis
+    upload_paths: list = field(default_factory=list)  # b64 style/pose temps
 
 
 class _Stats:
@@ -66,6 +67,8 @@ class _Stats:
         self.lock = threading.Lock()
         self.total = 0
         self.errors = 0
+        self.rejected = 0  # 429: queue full
+        self.timeouts = 0  # 504: handler deadline expired
         self.latencies_ms = []  # rolling
         self.batch_sizes = []  # rolling
         self.window = window
@@ -80,12 +83,22 @@ class _Stats:
                 self.latencies_ms = self.latencies_ms[-self.window :]
                 self.batch_sizes = self.batch_sizes[-self.window :]
 
+    def record_rejected(self):
+        with self.lock:
+            self.rejected += 1
+
+    def record_timeout(self):
+        with self.lock:
+            self.timeouts += 1
+
     def snapshot(self):
         with self.lock:
             lat = np.asarray(self.latencies_ms, np.float64)
             out = {
                 "requests_total": self.total,
                 "errors_total": self.errors,
+                "rejected_total": self.rejected,
+                "timeouts_total": self.timeouts,
                 "window": len(lat),
             }
             if len(lat):
@@ -107,17 +120,36 @@ class GestureServer:
     """
 
     def __init__(self, pipe, host="127.0.0.1", port=0, max_batch=64,
-                 max_wait_ms=30, bucket=512, mesh=None):
+                 max_wait_ms=30, bucket=512, mesh=None, max_queue=256,
+                 request_timeout_s=900.0, allow_paths=None, drain_s=30.0):
+        """``max_queue`` bounds the scheduler queue: a burst beyond chip
+        throughput gets 429 + Retry-After instead of unbounded memory and
+        thread growth. ``request_timeout_s`` bounds how long a handler
+        waits for its batch (504 on expiry; raise it when the first-ever
+        rollout shape must compile through a remote-compile tunnel).
+        ``allow_paths`` gates ``audio_path``/``bvh_path``/``first_pose``
+        payload fields that read server-visible files; default: enabled
+        only for loopback binds — non-loopback servers accept b64 uploads
+        only, unless explicitly overridden. ``drain_s`` bounds the graceful
+        drain of queued work in :meth:`stop`."""
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
         self.bucket = int(bucket)
         self.mesh = mesh
+        self.request_timeout_s = float(request_timeout_s)
+        self.drain_s = float(drain_s)
+        if allow_paths is None:
+            allow_paths = host in ("127.0.0.1", "localhost", "::1", "")
+        self.allow_paths = bool(allow_paths)
         self.stats = _Stats()
-        self._queue: Queue = Queue()
+        self._queue: Queue = Queue(maxsize=int(max_queue))
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         self._seq = 0
         self._seq_lock = threading.Lock()
         self._stop = threading.Event()
+        self._draining = threading.Event()
         self._tmp_root = Path(tempfile.mkdtemp(prefix="zeggs_serve_"))
 
         server = self
@@ -126,11 +158,13 @@ class GestureServer:
             def log_message(self, *a):  # quiet access log
                 pass
 
-            def _reply(self, code, obj):
+            def _reply(self, code, obj, headers=()):
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in headers:
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -158,6 +192,9 @@ class GestureServer:
                 except Exception as e:
                     self._reply(400, {"error": f"bad json: {e}"})
                     return
+                if server._draining.is_set() or server._stop.is_set():
+                    self._reply(503, {"error": "server shutting down"})
+                    return
                 try:
                     job = server._make_job(payload)
                 except Exception as e:
@@ -165,13 +202,27 @@ class GestureServer:
                     # never a dropped connection or a scheduler crash
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                     return
-                server._queue.put(job)
-                # generous bound: first-ever rollout shape can compile for
-                # ~10 min through a remote-compile tunnel; a lost job
-                # (scheduler died) still gets a 504 instead of hanging
-                if not job.done.wait(timeout=3600):
+                try:
+                    with server._inflight_lock:
+                        server._queue.put_nowait(job)
+                        server._inflight += 1
+                except Full:
+                    # backpressure: the queue bound is the admission limit —
+                    # reject instantly so a burst beyond chip throughput
+                    # can't grow memory or handler threads without bound
+                    server.stats.record_rejected()
+                    retry_s = max(1, int(server.max_wait_ms / 1e3 * 2) + 1)
+                    self._reply(429, {"error": "queue full, retry later"},
+                                headers=(("Retry-After", str(retry_s)),))
+                    return
+                # bounded handler wait (504 on expiry): a lost job
+                # (scheduler died) or a multi-minute first-shape compile
+                # past the deadline still answers instead of hanging
+                if not job.done.wait(timeout=server.request_timeout_s):
                     job.abandoned = True  # scheduler will skip it
-                    server.stats.record(3600e3, 0, error=True)
+                    server.stats.record_timeout()
+                    server.stats.record(server.request_timeout_s * 1e3, 0,
+                                        error=True)
                     self._reply(504, {"error": "synthesis timed out"})
                     return
                 if job.error is not None:
@@ -205,10 +256,12 @@ class GestureServer:
 
         Payload: ``audio_path`` (server-visible file) or ``audio_wav_b64``
         (raw .wav bytes); ``styles``: list of {"bvh_path", "frames"?} /
-        {"label"} entries (or shorthand ``style_path`` / ``style_label``);
-        optional ``temperature``, ``seed``, ``first_pose``, ``blend_type``,
+        {"bvh_b64", "frames"?} / {"label"} entries (or shorthand
+        ``style_path`` / ``style_label``); optional ``temperature``,
+        ``seed``, ``first_pose`` / ``first_pose_bvh_b64``, ``blend_type``,
         ``blend_ratio``, ``file_name``. Validation failures raise
-        ValueError -> HTTP 400 without touching the scheduler.
+        ValueError -> HTTP 400 without touching the scheduler. Path fields
+        are rejected when ``allow_paths`` is off (non-loopback default).
 
         The FILESYSTEM name is always a server-issued id (``r000042``):
         a client-supplied ``file_name`` is echoed back in the response but
@@ -217,15 +270,45 @@ class GestureServer:
         the same name."""
         name = self._next_name()
         display_name = str(payload.get("file_name") or name)
+        uploads = []
+        try:
+            return self._build_job(payload, name, display_name, uploads)
+        except Exception:
+            # validation failed mid-way: whatever b64 uploads were already
+            # written are orphans — remove them before the 400 goes out
+            for p in uploads:
+                p.unlink(missing_ok=True)
+            audio_upload = self._tmp_root / "uploads" / f"{name}.wav"
+            audio_upload.unlink(missing_ok=True)
+            raise
+
+    def _build_job(self, payload, name, display_name, uploads):
+        def check_path(p, what):
+            # path payload fields read server-visible files; on a
+            # non-loopback bind they are disabled unless explicitly
+            # re-enabled (allow_paths=True) — b64 uploads only
+            if not self.allow_paths:
+                raise ValueError(
+                    f"{what} path inputs are disabled on this server; "
+                    "send *_b64 content instead")
+            p = Path(p)
+            if not p.is_file():
+                raise ValueError(f"{what} not found: {p}")
+            return p
+
+        def write_upload(b64, suffix):
+            p = self._tmp_root / "uploads" / f"{name}_{len(uploads)}{suffix}"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(base64.b64decode(b64))
+            uploads.append(p)
+            return p
 
         if payload.get("audio_wav_b64"):
             audio = self._tmp_root / "uploads" / f"{name}.wav"
             audio.parent.mkdir(parents=True, exist_ok=True)
             audio.write_bytes(base64.b64decode(payload["audio_wav_b64"]))
         elif payload.get("audio_path"):
-            audio = Path(payload["audio_path"])
-            if not audio.is_file():
-                raise ValueError(f"audio_path not found: {audio}")
+            audio = check_path(payload["audio_path"], "audio_path")
         else:
             raise ValueError("need audio_path or audio_wav_b64")
 
@@ -244,10 +327,12 @@ class GestureServer:
         for s in raw_styles:
             if not isinstance(s, dict):
                 raise ValueError(f"bad style entry: {s!r}")
-            if "bvh_path" in s:
-                p = Path(s["bvh_path"])
-                if not p.is_file():
-                    raise ValueError(f"style bvh not found: {p}")
+            if "bvh_b64" in s:
+                p = write_upload(s["bvh_b64"], ".bvh")
+                frames = tuple(s["frames"]) if s.get("frames") else None
+                styles.append((p, frames))
+            elif "bvh_path" in s:
+                p = check_path(s["bvh_path"], "style bvh")
                 frames = tuple(s["frames"]) if s.get("frames") else None
                 styles.append((p, frames))
             elif "label" in s:
@@ -263,10 +348,10 @@ class GestureServer:
                 raise ValueError(f"bad style entry: {s}")
 
         first_pose = payload.get("first_pose")
-        if first_pose is not None:
-            first_pose = Path(first_pose)
-            if not first_pose.is_file():
-                raise ValueError(f"first_pose not found: {first_pose}")
+        if payload.get("first_pose_bvh_b64"):
+            first_pose = write_upload(payload["first_pose_bvh_b64"], ".bvh")
+        elif first_pose is not None:
+            first_pose = check_path(first_pose, "first_pose")
         if first_pose is None and not any(isinstance(s, tuple) for s in styles):
             raise ValueError("label styles require first_pose (generate.py:276)")
 
@@ -286,7 +371,7 @@ class GestureServer:
             blend_ratio=[float(r) for r in blend_ratio],
         )
         job = _Job(request=req, display_name=display_name,
-                   t_enqueue=time.perf_counter())
+                   t_enqueue=time.perf_counter(), upload_paths=uploads)
         return job
 
     # -- scheduler -------------------------------------------------------
@@ -309,8 +394,7 @@ class GestureServer:
                 jobs.append(self._queue.get(timeout=remaining))
             except Empty:
                 break
-        # a handler that already replied 504 has nobody reading the result
-        return [j for j in jobs if not j.abandoned]
+        return jobs
 
     def _run_scheduler(self):
         while not self._stop.is_set():
@@ -321,8 +405,23 @@ class GestureServer:
 
                 traceback.print_exc()
 
+    def _finish_job(self, j):
+        uploads = self._tmp_root / "uploads"
+        if j.request.audio.parent == uploads:
+            j.request.audio.unlink(missing_ok=True)  # single-use
+        for p in j.upload_paths:
+            p.unlink(missing_ok=True)
+        j.done.set()
+        with self._inflight_lock:
+            self._inflight -= 1
+
     def _run_one_batch(self):
-        jobs = self._drain_batch()
+        dequeued = self._drain_batch()
+        # a handler that already replied 504 has nobody reading the result
+        jobs = [j for j in dequeued if not j.abandoned]
+        for j in dequeued:
+            if j.abandoned:
+                self._finish_job(j)
         if not jobs:
             return
         try:
@@ -339,11 +438,8 @@ class GestureServer:
                     except Exception:
                         pass  # the offender keeps its own j.error
         finally:
-            uploads = self._tmp_root / "uploads"
             for j in jobs:
-                if j.request.audio.parent == uploads:
-                    j.request.audio.unlink(missing_ok=True)  # single-use
-                j.done.set()
+                self._finish_job(j)
 
     def _synthesize(self, jobs, batch_size=None):
         out_dir = self._tmp_root / f"batch_{time.monotonic_ns()}"
@@ -381,6 +477,24 @@ class GestureServer:
             self.stop()
 
     def stop(self):
-        self._stop.set()
+        """Graceful shutdown: stop admitting (503), let the scheduler drain
+        queued work for up to ``drain_s``, then stop and fail whatever is
+        left so no handler hangs to its full timeout."""
+        self._draining.set()
         self._httpd.shutdown()
+        deadline = time.perf_counter() + self.drain_s
+        while time.perf_counter() < deadline:
+            with self._inflight_lock:
+                if self._inflight == 0:
+                    break
+            time.sleep(0.05)
+        self._stop.set()
+        # anything still queued past the drain deadline: answer now
+        while True:
+            try:
+                j = self._queue.get_nowait()
+            except Empty:
+                break
+            j.error = "server stopped"
+            self._finish_job(j)
         shutil.rmtree(self._tmp_root, ignore_errors=True)
