@@ -73,7 +73,7 @@ class _MelStream:
     (log_mel (n, n_mels), energy (n,)) rows as enough samples arrive.
     """
 
-    def __init__(self, cfg: mel.MelConfig, gain=1.0):
+    def __init__(self, cfg: mel.MelConfig, gain=1.0, fn_cache=None):
         assert cfg.centered, "streaming mel requires the reference's centered STFT"
         # total_frames() reproduces the offline drop-a-frame condition
         # ((max(N, nfft) + nfft) % hop == 0) via max(N, nfft) % hop == 0 —
@@ -87,14 +87,22 @@ class _MelStream:
         self.gain = float(gain)
         self.nfft = cfg.filter_length
         self.hop = cfg.hop_length
-        self._window = jnp.asarray(mel.hann_symmetric(self.nfft))
-        self._basis = jnp.asarray(
-            mel.mel_filterbank(
-                cfg.filter_length, cfg.sampling_rate, cfg.n_mel_channels,
-                cfg.mel_fmin, cfg.mel_fmax, cfg.normalize_mel_bins,
+        # jitted programs and DFT constants are shared ACROSS sessions via
+        # the pipeline-owned cache: a fresh @jax.jit closure per session
+        # would re-load every bucket executable through the device tunnel
+        # (~seconds each), turning warm sessions cold
+        self._fns = fn_cache if fn_cache is not None else {}
+        if "mel_consts" not in self._fns:
+            self._fns["mel_consts"] = (
+                jnp.asarray(mel.hann_symmetric(self.nfft)),
+                jnp.asarray(
+                    mel.mel_filterbank(
+                        cfg.filter_length, cfg.sampling_rate, cfg.n_mel_channels,
+                        cfg.mel_fmin, cfg.mel_fmax, cfg.normalize_mel_bins,
+                    )
+                ),
             )
-        )
-        self._fns = {}
+        self._window, self._basis = self._fns["mel_consts"]
         self._head = np.zeros(0, np.float32)  # emphasized samples pre-start
         self._ext = None  # reflect-headed emphasized stream, next frame at [0]
         self._tail = np.zeros(0, np.float32)  # last <=nfft+1 emphasized samples
@@ -106,7 +114,7 @@ class _MelStream:
     # -- jitted row computation -------------------------------------------
 
     def _row_fn(self, nf):
-        if nf not in self._fns:
+        if ("mel", nf) not in self._fns:
             cfg, nfft, hop = self.cfg, self.nfft, self.hop
             window, basis = self._window, self._basis
             n_fft_div = nfft if cfg.real_amplitude else 1
@@ -127,8 +135,8 @@ class _MelStream:
                 lin = 10.0 ** (db / 20.0)
                 return jnp.log(lin), jnp.linalg.norm(lin, axis=-1)
 
-            self._fns[nf] = fn
-        return self._fns[nf]
+            self._fns[("mel", nf)] = fn
+        return self._fns[("mel", nf)]
 
     # -- stream plumbing ----------------------------------------------------
 
@@ -285,14 +293,14 @@ class _SpeechStream:
 
     LOOK = 15  # (31 - 1) / 2
 
-    def __init__(self, params):
+    def __init__(self, params, fn_cache=None):
         self.params = params
         self.feats = None  # (n, F) normalized rows
         self.done = 0
-        self._fns = {}
+        self._fns = fn_cache if fn_cache is not None else {}
 
     def _fn(self, n):
-        if n not in self._fns:
+        if ("speech", n) not in self._fns:
             p = self.params
 
             @jax.jit
@@ -304,8 +312,8 @@ class _SpeechStream:
                 ) + p["conv1"]["b"]
                 return L.elu(L.linear(p["linear"], L.elu(y)))[0]
 
-            self._fns[n] = fn
-        return self._fns[n]
+            self._fns[("speech", n)] = fn
+        return self._fns[("speech", n)]
 
     def _emit(self, hi, end_idx):
         outs = []
@@ -364,13 +372,22 @@ class StreamingSession:
             raise NotImplementedError("streaming supports the 'normal' decoder cell")
         self.pipe = pipe
         self.quantum = int(quantum)
-        self._mel = _MelStream(pipe.mel_cfg, gain=gain)
+        # pipeline-owned jit cache shared across sessions: a per-session
+        # @jax.jit closure is a NEW program object, so every session would
+        # re-load each bucket executable through the device tunnel
+        # (~seconds each — measured warm-session ttff 14.5 s / finish 17 s
+        # before this cache; ~0.6 s / ~0.9 s after)
+        if not hasattr(pipe, "_stream_fn_cache"):
+            pipe._stream_fn_cache = {}
+        self._dec_fns = pipe._stream_fn_cache
+        self._mel = _MelStream(pipe.mel_cfg, gain=gain,
+                               fn_cache=pipe._stream_fn_cache)
         self._resample = _Resampler(
             pipe.mel_cfg, 60, pipe.audio_feature_type,
             pipe.stats["audio_input_mean"], pipe.stats["audio_input_std"],
         )
-        self._speech = _SpeechStream(pipe.networks["speech_encoder"])
-        self._dec_fns = {}
+        self._speech = _SpeechStream(pipe.networks["speech_encoder"],
+                                     fn_cache=pipe._stream_fn_cache)
         self.finished = False
 
         style_enc, last_feats = self._resolve_styles(styles, blend_ratio, temperature, seed)
@@ -443,7 +460,7 @@ class StreamingSession:
     # -- decoder chunks ------------------------------------------------------
 
     def _dec_fn(self, n):
-        if n not in self._dec_fns:
+        if ("dec", n) not in self._dec_fns:
             pipe = self.pipe
             dec_cfg = pipe.opts.net.decoder
 
@@ -457,8 +474,8 @@ class StreamingSession:
                     output_indices=(0, 1, 4, 5),
                 )
 
-            self._dec_fns[n] = fn
-        return self._dec_fns[n]
+            self._dec_fns[("dec", n)] = fn
+        return self._dec_fns[("dec", n)]
 
     def _advance_decoder(self, flush=False):
         if self._speech_rows is None:
