@@ -327,7 +327,10 @@ def _full_run_summary():
             "loss_start": round(float(tot[0]), 4) if tot else None,
             "loss_final": round(float(tot[-1]), 4) if tot else None,
         }
-    except (OSError, ValueError, KeyError):
+    except Exception:
+        # the file is rewritten non-atomically every 1000 iters by a
+        # possibly-concurrent train_full.py — ANY malformed content must
+        # degrade to "no extra", never crash bench before the first _emit
         return None
 
 
@@ -359,7 +362,10 @@ def main():
         stage_env = {"JAX_PLATFORMS": "cpu"}
 
     core_argv = [os.path.join(_REPO, "bench.py"), "--stage", "core"]
-    core_timeout = max(300.0, remaining() - 60.0)
+    # clamp the first (TPU) attempt so a CPU retry still FITS the budget:
+    # first-timeout + retry-timeout + margin <= budget, else a mid-core
+    # tunnel death overruns the driver kill with nothing emitted
+    core_timeout = max(300.0, remaining() - 390.0)
     try:
         core = _run_stage(core_argv, timeout=core_timeout, env=stage_env)
     except (RuntimeError, subprocess.TimeoutExpired):
@@ -368,7 +374,7 @@ def main():
         # tunnel died mid-run: record CPU numbers instead of nothing
         print("# TPU stage failed: retrying all stages on CPU", file=sys.stderr)
         stage_env = {"JAX_PLATFORMS": "cpu"}
-        core = _run_stage(core_argv, timeout=max(300.0, remaining() - 30.0),
+        core = _run_stage(core_argv, timeout=max(240.0, remaining() - 30.0),
                           env=stage_env)
     on_tpu = core["platform"] != "cpu"
 

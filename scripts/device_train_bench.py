@@ -21,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import __graft_entry__ as g
 from zeggs_tpu import config as C
 from zeggs_tpu.data.device_dataset import DeviceCorpus, make_device_train_step
-from zeggs_tpu.parallel import create_mesh
+from zeggs_tpu.parallel import batch_sharding, create_mesh, replicated
 from zeggs_tpu.train.loop import init_networks
 
 
@@ -71,9 +71,12 @@ class _CacheProbe:
         return self._entries() == self.before
 
 
-def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=print, unroll=4):
-    """Time the device-resident-corpus train step at full v1 dimensions.
-    Returns {"step_ms", "it_s", "frames_per_s"} (median of n_iters)."""
+def build_step(compute_dtype="float32", unroll=4, batchsize=32, remat=False):
+    """Build the PRODUCTION device-corpus train step at full v1 dimensions
+    with production input placement (params/opt replicated, index vectors
+    batch-sharded), ready for ``step.lower(...).compile()``. Shared by this
+    bench and scripts/train_roofline.py so the roofline always analyzes the
+    exact program being timed."""
     opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, remat=remat,
                                          unroll=unroll))
     ds = _FakeDS()
@@ -91,18 +94,30 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
     tx, step = make_device_train_step(opts, stats, parents, 1 / 60.0, corpus, 19, mesh=mesh)
     opt_state = tx.init(params)
 
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-
-    from zeggs_tpu.parallel import batch_sharding, replicated
-
     rep, data = replicated(mesh), batch_sharding(mesh)
-    cache_probe = _CacheProbe()
 
     def put_idx(starts, ex_idx, ex_len):
         return (jax.device_put(jnp.asarray(starts), data),
                 jax.device_put(jnp.asarray(ex_idx), data),
                 jax.device_put(jnp.asarray(ex_len), data))
+
+    return dict(
+        step=step, corpus=corpus, ds=ds, put_idx=put_idx, batchsize=batchsize,
+        params_s=jax.device_put(params, rep),
+        opt_s=jax.device_put(opt_state, rep),
+        key=jax.random.PRNGKey(0),
+    )
+
+
+def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=print, unroll=4):
+    """Time the device-resident-corpus train step at full v1 dimensions.
+    Returns {"step_ms", "it_s", "frames_per_s"} (median of n_iters)."""
+    cache_probe = _CacheProbe()
+    b = build_step(compute_dtype, unroll, batchsize, remat)
+    step, corpus, ds, put_idx = b["step"], b["corpus"], b["ds"], b["put_idx"]
+    params_s, opt_s, key = b["params_s"], b["opt_s"], b["key"]
+
+    rng = np.random.default_rng(0)
 
     def one(i):
         idx = rng.integers(0, len(ds.window_starts), size=batchsize)
@@ -115,8 +130,6 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
     # first jit call and the post-donation calls lower to two distinct
     # programs — two ~380 MB executable loads through the tunnel per run
     # (measured: the r3 driver run paid 452.5 s for the pair, cold).
-    params_s = jax.device_put(params, rep)
-    opt_s = jax.device_put(opt_state, rep)
     idx0 = rng.integers(0, len(ds.window_starts), size=batchsize)
     args0 = put_idx(*corpus.sample_indices(idx0, 2 * rng.integers(128, 257)))
     log("compiling device train step (AOT, single program)...", flush=True)

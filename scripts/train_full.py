@@ -130,7 +130,12 @@ def main(argv=None):
             return
         prev_iters = prev.get("iters_logged", [])
         keep = sum(1 for i in prev_iters if i <= start_iter)
-        if not keep:
+        # validate BEFORE mutating: a prior file with schema drift (missing
+        # keys / short lists) must be ignored wholesale, not merged halfway
+        if not keep or any(
+            not isinstance(prev.get(k), list) or len(prev[k]) < keep
+            for k in curve
+        ):
             return
         iters_logged.extend(prev_iters[:keep])
         for k in curve:
@@ -170,9 +175,10 @@ def main(argv=None):
             flush(False, i)
             rate = (i - state["start_iter"]) / max(el, 1e-9)
             eta_h = (args.iters - i) / max(rate, 1e-9) / 3600 if i else float("nan")
-            print(f"iter {i}/{args.iters}: total={curve['total_loss'][-1]:.4f} "
-                  f"kl_w={curve['kl_weight'][-1]:.3f} lr={curve['lr_scale'][-1]:.3f} "
-                  f"({el:.0f}s, {rate:.1f} it/s, eta {eta_h:.2f}h)", flush=True)
+            if curve["total_loss"]:  # empty when --log-every > 1000
+                print(f"iter {i}/{args.iters}: total={curve['total_loss'][-1]:.4f} "
+                      f"kl_w={curve['kl_weight'][-1]:.3f} lr={curve['lr_scale'][-1]:.3f} "
+                      f"({el:.0f}s, {rate:.1f} it/s, eta {eta_h:.2f}h)", flush=True)
         if el > budget_s:
             raise TimeBudgetExceeded(f"{el:.0f}s > {budget_s:.0f}s at iter {i}")
 

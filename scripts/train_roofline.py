@@ -40,13 +40,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/zeggs_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import __graft_entry__ as g
-from zeggs_tpu import config as C
-from zeggs_tpu.data.device_dataset import DeviceCorpus, make_device_train_step
-from zeggs_tpu.parallel import batch_sharding, create_mesh, replicated
-from zeggs_tpu.train.loop import init_networks
-
-from device_train_bench import _FakeDS
+from device_train_bench import build_step
 
 # TPU v5e (one chip). Sources: public v5e spec sheet.
 PEAK_BF16_FLOPS = 197e12
@@ -60,34 +54,14 @@ CELL_PARAMS = 18_910_208
 
 
 def build_compiled(compute_dtype, unroll, batchsize=32):
-    opts = C.Options(train=C.TrainConfig(compute_dtype=compute_dtype, unroll=unroll))
-    ds = _FakeDS()
-    corpus = DeviceCorpus.__new__(DeviceCorpus)
-    corpus.ds = ds
-    corpus.window = ds.window
-    corpus.max_example_length = ds.max_example_length
-    corpus.arrays = {k: jnp.asarray(v) for k, v in ds.arrays.items()}
-
-    mesh = create_mesh(1)
-    stats = g._stats()
-    parents = [-1] + list(range(74))
-    dims = dict(num_audio_features=81, pose_input_size=g.POSE_IN,
-                pose_output_size=g.POSE_OUT)
-    params = init_networks(jax.random.PRNGKey(0), opts, dims, nlabels=19)
-    tx, step = make_device_train_step(opts, stats, parents, 1 / 60.0, corpus, 19,
-                                      mesh=mesh)
-    opt_state = tx.init(params)
-
-    rep, data = replicated(mesh), batch_sharding(mesh)
-    params_s = jax.device_put(params, rep)
-    opt_s = jax.device_put(opt_state, rep)
+    """AOT-compile the exact program device_train_bench times (shared
+    builder, so bench and roofline can never drift apart)."""
+    b = build_step(compute_dtype, unroll, batchsize)
     rng = np.random.default_rng(0)
-    idx0 = rng.integers(0, len(ds.window_starts), size=batchsize)
-    starts, ex_idx, ex_len = corpus.sample_indices(idx0, 512)
-    args = tuple(jax.device_put(jnp.asarray(a), data)
-                 for a in (starts, ex_idx, ex_len))
-    key = jax.random.PRNGKey(0)
-    return step.lower(params_s, opt_s, *args, jnp.float32(0.0), key).compile()
+    idx0 = rng.integers(0, len(b["ds"].window_starts), size=batchsize)
+    args = b["put_idx"](*b["corpus"].sample_indices(idx0, 512))
+    return b["step"].lower(b["params_s"], b["opt_s"], *args,
+                           jnp.float32(0.0), b["key"]).compile()
 
 
 def main(argv=None):

@@ -276,6 +276,38 @@ def test_burst_beyond_queue_gets_429_and_stays_bounded(slow_server):
     assert threading.active_count() <= threads_before + 4
 
 
+def test_429_b64_uploads_do_not_leak_files(slow_server):
+    """A b64 burst against a full queue must not leave decoded upload files
+    behind: every 429'd request's already-written WAV/BVH is unlinked before
+    the reply (the backpressure path exists precisely to bound resources)."""
+    import base64
+
+    srv, port, clips = slow_server
+    style_bvh, audio_wav = clips[0]
+    payload = {
+        "audio_wav_b64": base64.b64encode(audio_wav.read_bytes()).decode(),
+        "styles": [{"bvh_b64": base64.b64encode(style_bvh.read_bytes()).decode()}],
+    }
+
+    results = [None] * 24
+
+    def client(i):
+        results[i] = _post_code(port, dict(payload, seed=i))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    codes = [c for c, _ in results]
+    assert codes.count(429) >= 1, "burst of 24 into a 4-deep queue must overflow"
+    assert codes.count(200) + codes.count(429) == len(codes), codes
+    uploads = srv._tmp_root / "uploads"
+    leftovers = list(uploads.glob("*")) if uploads.exists() else []
+    assert not leftovers, f"429'd b64 uploads leaked: {leftovers}"
+
+
 def test_429_carries_retry_after_header(slow_server):
     srv, port, clips = slow_server
     style_bvh, audio_wav = clips[0]

@@ -43,6 +43,11 @@ import numpy as np
 from ..infer.batch import Request, generate_batch
 
 
+class _Stopped(Exception):
+    """Admission raced with stop(): reject with 503 instead of enqueueing
+    into a queue nobody will ever drain."""
+
+
 @dataclass
 class _Job:
     request: Request
@@ -140,7 +145,8 @@ class GestureServer:
         self.request_timeout_s = float(request_timeout_s)
         self.drain_s = float(drain_s)
         if allow_paths is None:
-            allow_paths = host in ("127.0.0.1", "localhost", "::1", "")
+            # "" binds INADDR_ANY (all interfaces) — NOT loopback
+            allow_paths = host in ("127.0.0.1", "localhost", "::1")
         self.allow_paths = bool(allow_paths)
         self.stats = _Stats()
         self._queue: Queue = Queue(maxsize=int(max_queue))
@@ -204,16 +210,30 @@ class GestureServer:
                     return
                 try:
                     with server._inflight_lock:
+                        # stop() sets _stop under this same lock, so a job
+                        # admitted here is guaranteed to be seen by stop()'s
+                        # drain/flush — no enqueue into a dead queue
+                        if server._stop.is_set():
+                            raise _Stopped()
                         server._queue.put_nowait(job)
                         server._inflight += 1
                 except Full:
                     # backpressure: the queue bound is the admission limit —
                     # reject instantly so a burst beyond chip throughput
                     # can't grow memory or handler threads without bound
+                    server._discard_job_files(job)
                     server.stats.record_rejected()
                     retry_s = max(1, int(server.max_wait_ms / 1e3 * 2) + 1)
                     self._reply(429, {"error": "queue full, retry later"},
                                 headers=(("Retry-After", str(retry_s)),))
+                    return
+                except _Stopped:
+                    # raced with stop(): the tmp root may already be gone —
+                    # drop this job's uploads (and the dir _make_job may have
+                    # just recreated) before answering
+                    server._discard_job_files(job)
+                    shutil.rmtree(server._tmp_root, ignore_errors=True)
+                    self._reply(503, {"error": "server shutting down"})
                     return
                 # bounded handler wait (504 on expiry): a lost job
                 # (scheduler died) or a multi-minute first-shape compile
@@ -405,12 +425,17 @@ class GestureServer:
 
                 traceback.print_exc()
 
-    def _finish_job(self, j):
+    def _discard_job_files(self, j):
+        """Remove a job's b64 upload files without completing it (jobs
+        rejected before admission: 429 queue-full, 503 stop race)."""
         uploads = self._tmp_root / "uploads"
         if j.request.audio.parent == uploads:
             j.request.audio.unlink(missing_ok=True)  # single-use
         for p in j.upload_paths:
             p.unlink(missing_ok=True)
+
+    def _finish_job(self, j):
+        self._discard_job_files(j)
         j.done.set()
         with self._inflight_lock:
             self._inflight -= 1
@@ -488,7 +513,11 @@ class GestureServer:
                 if self._inflight == 0:
                     break
             time.sleep(0.05)
-        self._stop.set()
+        # set under the admission lock: every handler either observed _stop
+        # (503, files discarded) or enqueued before this point, in which
+        # case the flush below answers its job
+        with self._inflight_lock:
+            self._stop.set()
         # anything still queued past the drain deadline: answer now
         while True:
             try:
