@@ -448,6 +448,119 @@ def test_graceful_drain_on_stop(slow_server):
         assert code in (200, 500, 503), (code, body)
 
 
+def _post_path(port, path, payload, timeout=600):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _decode_frames(f):
+    assert f["dtype"] == "float32"
+    return {k: np.frombuffer(base64.b64decode(v["b64"]), np.float32)
+            .reshape(v["shape"]) for k, v in f["data"].items()}
+
+
+def test_stream_http_matches_offline_session(server, tmp_path):
+    """Live streaming over HTTP: start a session with a b64 style, push the
+    audio in arbitrary chunks, finish with a BVH — the frames must be
+    BIT-IDENTICAL to a direct StreamingSession on the same pipeline (which
+    is itself proven identical to the offline rollout)."""
+    srv, port, clips, root = server
+    style_bvh, audio_wav = clips[0]
+    from zeggs_tpu.io.wav import read_wavfile
+
+    _, samples = read_wavfile(audio_wav, desired_fs=16000)
+    samples = np.asarray(samples, np.float32)
+
+    out = _post_path(port, "/stream/start", {
+        "styles": [{"bvh_b64": base64.b64encode(style_bvh.read_bytes()).decode()}],
+        "seed": 7, "quantum": 1,
+    })
+    sid = out["session_id"]
+    chunks = [_decode_frames(out["frames"])]
+    assert chunks[0]["root_pos"].shape[0] == 1  # frame 0 = first-pose state
+
+    for part in np.array_split(samples, 3):
+        r = _post_path(port, "/stream/push", {
+            "session_id": sid,
+            "audio_f32_b64": base64.b64encode(
+                part.astype("<f4").tobytes()).decode(),
+        })
+        chunks.append(_decode_frames(r["frames"]))
+
+    fin = _post_path(port, "/stream/finish", {"session_id": sid, "bvh": True})
+    chunks.append(_decode_frames(fin["frames"]))
+    assert fin["total_frames"] == 180
+    _check_bvh(fin["bvh"], tmp_path, 180)
+    got = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
+    assert got["root_pos"].shape[0] == 180
+
+    # direct in-process session, same seed/style/chunking (different chunk
+    # splits are only equal to ~2e-5 — distinct XLA programs fuse
+    # differently; the HTTP layer itself must be bit-transparent)
+    sess = srv.pipe.streaming_session([(style_bvh, None)], seed=7, quantum=1)
+    direct = [sess._collect(0)]
+    for part in np.array_split(samples, 3):
+        direct.append(sess.push(part))
+    direct.append(sess.finish())
+    want = {k: np.concatenate([c[k] for c in direct]) for k in direct[0]}
+    for k in want:
+        assert np.array_equal(got[k], want[k]), k
+
+    # the session is gone after finish
+    code, body = _post_code_path(port, "/stream/push",
+                                 {"session_id": sid, "audio_f32_b64": ""})
+    assert code == 404
+
+
+def _post_code_path(port, path, payload, timeout=60):
+    try:
+        return 200, _post_path(port, path, payload, timeout=timeout)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_stream_unknown_session_404_and_bad_start_400(server):
+    _, port, _, _ = server
+    code, _ = _post_code_path(port, "/stream/push",
+                              {"session_id": "nope", "audio_f32_b64": ""})
+    assert code == 404
+    code, body = _post_code_path(port, "/stream/start", {"styles": []})
+    assert code == 400
+    code, _ = _post_code_path(port, "/stream/nonsense", {})
+    assert code == 404
+
+
+def test_stream_sessions_are_garbage_collected(server):
+    """An idle session past session_ttl_s disappears (and /stats shows the
+    live count); pushes to it answer 404 instead of leaking memory."""
+    import time
+
+    srv, port, clips, _ = server
+    style_bvh, _ = clips[0]
+    fresh = GestureServer(srv.pipe, max_batch=2, max_wait_ms=10,
+                          session_ttl_s=0.3)
+    fport = fresh.start()
+    try:
+        out = _post_path(fport, "/stream/start", {
+            "styles": [{"bvh_b64": base64.b64encode(
+                style_bvh.read_bytes()).decode()}],
+        })
+        sid = out["session_id"]
+        assert _get(fport, "/stats")["live_sessions"] == 1
+        time.sleep(1.2)  # > ttl + scheduler tick
+        assert _get(fport, "/stats")["live_sessions"] == 0
+        code, _ = _post_code_path(fport, "/stream/push",
+                                  {"session_id": sid, "audio_f32_b64": ""})
+        assert code == 404
+    finally:
+        fresh.stop()
+
+
 def test_bad_request_does_not_fail_cobatched_neighbor(server, tmp_path):
     """A request whose style BVH is corrupt fails at synthesis time (it
     passes validation: the file exists); a valid request coalesced into

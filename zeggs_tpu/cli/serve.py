@@ -11,6 +11,12 @@ Usage:
   curl -s -X POST localhost:8008/synthesize -d '{
       "audio_path": ".../speech.wav", "style_path": ".../style.bvh",
       "temperature": 1.0, "seed": 42}'
+
+Live streaming (session API; see GestureServer._do_stream for the full
+payload schema):
+  POST /stream/start  {styles, seed?, quantum?}      -> {session_id, frames}
+  POST /stream/push   {session_id, audio_f32_b64}    -> {frames}
+  POST /stream/finish {session_id, bvh: true}        -> {frames, bvh}
 """
 
 from __future__ import annotations
@@ -47,6 +53,13 @@ def build_parser():
                             "server-visible files (default: loopback binds only)")
     paths.add_argument("--b64-only", dest="allow_paths", action="store_false",
                        help="reject path payload fields even on loopback")
+    p.add_argument("--max-sessions", type=int, default=16,
+                   help="live streaming sessions bound (429 past it)")
+    p.add_argument("--session-ttl-s", type=float, default=600.0,
+                   help="idle streaming sessions are dropped after this")
+    p.add_argument("--stream-quantum", type=int, default=16,
+                   help="min decoder chunk per mid-stream push (frames); "
+                        "higher = fewer dispatches, a few frames more lag")
     return p
 
 
@@ -72,7 +85,8 @@ def main(argv=None):
         pipe, host=args.host, port=args.port, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, bucket=args.bucket,
         max_queue=args.max_queue, request_timeout_s=args.request_timeout_s,
-        allow_paths=args.allow_paths,
+        allow_paths=args.allow_paths, max_sessions=args.max_sessions,
+        session_ttl_s=args.session_ttl_s, stream_quantum=args.stream_quantum,
     )
     print(f"serving on {args.host}:{server.port} "
           f"(max_batch={args.max_batch}, max_wait_ms={args.max_wait_ms}, "

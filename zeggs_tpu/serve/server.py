@@ -32,6 +32,7 @@ import shutil
 import tempfile
 import threading
 import time
+import uuid
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -46,6 +47,24 @@ from ..infer.batch import Request, generate_batch
 class _Stopped(Exception):
     """Admission raced with stop(): reject with 503 instead of enqueueing
     into a queue nobody will ever drain."""
+
+
+def _encode_frames(frames):
+    """Gesture frames -> JSON-safe dict: base64 little-endian float32
+    buffers + shapes, keyed root_pos (n,3), root_rot (n,4), lpos (n,J,3),
+    ltxy (n,J,2,3)."""
+    return {
+        "n": int(frames["root_pos"].shape[0]),
+        "dtype": "float32",
+        "data": {
+            k: {
+                "b64": base64.b64encode(
+                    np.ascontiguousarray(v, np.float32).tobytes()).decode(),
+                "shape": list(v.shape),
+            }
+            for k, v in frames.items()
+        },
+    }
 
 
 @dataclass
@@ -63,6 +82,20 @@ class _Job:
     batch_size: int = 0
     abandoned: bool = False  # handler gave up (504): skip synthesis
     upload_paths: list = field(default_factory=list)  # b64 style/pose temps
+
+
+@dataclass
+class _StreamOp:
+    """A streaming-session operation (start/push/finish) queued to the
+    scheduler thread, which owns ALL device work — stream ops and batched
+    synthesis never touch the chip concurrently."""
+
+    fn: object  # callable() -> response dict, run on the scheduler thread
+    client_fault: bool = False  # errors reply 400 (start) instead of 500
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[dict] = None
+    error: Optional[str] = None
+    abandoned: bool = False
 
 
 class _Stats:
@@ -126,7 +159,8 @@ class GestureServer:
 
     def __init__(self, pipe, host="127.0.0.1", port=0, max_batch=64,
                  max_wait_ms=30, bucket=512, mesh=None, max_queue=256,
-                 request_timeout_s=900.0, allow_paths=None, drain_s=30.0):
+                 request_timeout_s=900.0, allow_paths=None, drain_s=30.0,
+                 max_sessions=16, session_ttl_s=600.0, stream_quantum=16):
         """``max_queue`` bounds the scheduler queue: a burst beyond chip
         throughput gets 429 + Retry-After instead of unbounded memory and
         thread growth. ``request_timeout_s`` bounds how long a handler
@@ -149,6 +183,12 @@ class GestureServer:
             allow_paths = host in ("127.0.0.1", "localhost", "::1")
         self.allow_paths = bool(allow_paths)
         self.stats = _Stats()
+        # live streaming sessions (POST /stream/{start,push,finish}); owned
+        # by the scheduler thread, GC'd after session_ttl_s of inactivity
+        self.max_sessions = int(max_sessions)
+        self.session_ttl_s = float(session_ttl_s)
+        self.stream_quantum = int(stream_quantum)
+        self._sessions: dict = {}
         self._queue: Queue = Queue(maxsize=int(max_queue))
         self._inflight = 0
         self._inflight_lock = threading.Lock()
@@ -184,11 +224,46 @@ class GestureServer:
                         "style_encoding_type": server.pipe.style_encoding_type,
                     })
                 elif self.path == "/stats":
-                    self._reply(200, server.stats.snapshot())
+                    snap = server.stats.snapshot()
+                    snap["live_sessions"] = len(server._sessions)
+                    self._reply(200, snap)
                 else:
                     self._reply(404, {"error": "not found"})
 
+            def _run_op(self, fn, client_fault=False):
+                """Enqueue a _StreamOp and wait; same admission (429),
+                deadline (504), and shutdown (503) semantics as synthesis."""
+                op = _StreamOp(fn=fn, client_fault=client_fault)
+                try:
+                    with server._inflight_lock:
+                        if server._stop.is_set():
+                            raise _Stopped()
+                        server._queue.put_nowait(op)
+                        server._inflight += 1
+                except Full:
+                    server.stats.record_rejected()
+                    self._reply(429, {"error": "queue full, retry later"},
+                                headers=(("Retry-After", "1"),))
+                    return
+                except _Stopped:
+                    self._reply(503, {"error": "server shutting down"})
+                    return
+                if not op.done.wait(timeout=server.request_timeout_s):
+                    op.abandoned = True
+                    server.stats.record_timeout()
+                    self._reply(504, {"error": "stream op timed out"})
+                    return
+                if op.error is not None:
+                    self._reply(400 if op.client_fault else 500,
+                                {"error": op.error})
+                    return
+                status = op.result.pop("_status", 200) if op.result else 200
+                self._reply(status, op.result or {})
+
             def do_POST(self):
+                if self.path.startswith("/stream/"):
+                    self._do_stream()
+                    return
                 if self.path != "/synthesize":
                     self._reply(404, {"error": "not found"})
                     return
@@ -260,6 +335,71 @@ class GestureServer:
                     "batch_size": job.batch_size,
                 })
 
+            def _do_stream(self):
+                """Live streaming over plain request/response HTTP:
+
+                POST /stream/start  {styles|style_path|style_label,
+                                     first_pose?/first_pose_bvh_b64?,
+                                     temperature?, seed?, blend_ratio?,
+                                     quantum?}            -> {session_id}
+                POST /stream/push   {session_id, audio_f32_b64}
+                                                          -> {frames}
+                POST /stream/finish {session_id, bvh?}    -> {frames, bvh?}
+
+                audio_f32_b64 is raw little-endian float32 mono PCM at the
+                pipeline sampling rate (16 kHz), any chunking. frames holds
+                base64 float32 arrays keyed root_pos (n,3), root_rot (n,4),
+                lpos (n,J,3), ltxy (n,J,2,3) — exactly the offline frames
+                (tests/test_streaming.py). Sessions idle past session_ttl_s
+                are garbage-collected."""
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except Exception as e:
+                    self._reply(400, {"error": f"bad json: {e}"})
+                    return
+                if server._draining.is_set() or server._stop.is_set():
+                    self._reply(503, {"error": "server shutting down"})
+                    return
+
+                if self.path == "/stream/start":
+                    name = server._next_name()
+                    uploads = []
+                    try:
+                        styles = server._parse_styles(payload, name, uploads)
+                        first_pose = server._parse_first_pose(
+                            payload, name, uploads, styles)
+                    except Exception as e:
+                        for p in uploads:
+                            p.unlink(missing_ok=True)
+                        self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    self._run_op(
+                        lambda: server._op_stream_start(
+                            styles, first_pose, payload, uploads),
+                        client_fault=True,
+                    )
+                    return
+
+                sid = payload.get("session_id")
+                if not sid or sid not in server._sessions:
+                    self._reply(404, {"error": f"unknown session: {sid!r}"})
+                    return
+                if self.path == "/stream/push":
+                    try:
+                        audio = np.frombuffer(
+                            base64.b64decode(payload["audio_f32_b64"]),
+                            dtype="<f4")
+                    except Exception as e:
+                        self._reply(400, {"error": f"bad audio_f32_b64: {e}"})
+                        return
+                    self._run_op(lambda: server._op_stream_push(sid, audio))
+                elif self.path == "/stream/finish":
+                    self._run_op(lambda: server._op_stream_finish(
+                        sid, want_bvh=bool(payload.get("bvh"))))
+                else:
+                    self._reply(404, {"error": "not found"})
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._scheduler = threading.Thread(target=self._run_scheduler, daemon=True)
@@ -302,36 +442,31 @@ class GestureServer:
             audio_upload.unlink(missing_ok=True)
             raise
 
-    def _build_job(self, payload, name, display_name, uploads):
-        def check_path(p, what):
-            # path payload fields read server-visible files; on a
-            # non-loopback bind they are disabled unless explicitly
-            # re-enabled (allow_paths=True) — b64 uploads only
-            if not self.allow_paths:
-                raise ValueError(
-                    f"{what} path inputs are disabled on this server; "
-                    "send *_b64 content instead")
-            p = Path(p)
-            if not p.is_file():
-                raise ValueError(f"{what} not found: {p}")
-            return p
+    def _check_path(self, p, what):
+        # path payload fields read server-visible files; on a
+        # non-loopback bind they are disabled unless explicitly
+        # re-enabled (allow_paths=True) — b64 uploads only
+        if not self.allow_paths:
+            raise ValueError(
+                f"{what} path inputs are disabled on this server; "
+                "send *_b64 content instead")
+        p = Path(p)
+        if not p.is_file():
+            raise ValueError(f"{what} not found: {p}")
+        return p
 
-        def write_upload(b64, suffix):
-            p = self._tmp_root / "uploads" / f"{name}_{len(uploads)}{suffix}"
-            p.parent.mkdir(parents=True, exist_ok=True)
-            p.write_bytes(base64.b64decode(b64))
-            uploads.append(p)
-            return p
+    def _write_upload(self, b64, name, uploads, suffix):
+        p = self._tmp_root / "uploads" / f"{name}_{len(uploads)}{suffix}"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(base64.b64decode(b64))
+        uploads.append(p)
+        return p
 
-        if payload.get("audio_wav_b64"):
-            audio = self._tmp_root / "uploads" / f"{name}.wav"
-            audio.parent.mkdir(parents=True, exist_ok=True)
-            audio.write_bytes(base64.b64decode(payload["audio_wav_b64"]))
-        elif payload.get("audio_path"):
-            audio = check_path(payload["audio_path"], "audio_path")
-        else:
-            raise ValueError("need audio_path or audio_wav_b64")
-
+    def _parse_styles(self, payload, name, uploads):
+        """Resolve the style spec shared by /synthesize and /stream/start:
+        ``styles`` entries {"bvh_b64"/"bvh_path", "frames"?} or {"label"},
+        with ``style_path``/``style_label`` shorthands. Returns a list of
+        (path, frames) tuples and/or labels."""
         raw_styles = payload.get("styles")
         if raw_styles is None:
             if payload.get("style_path"):
@@ -348,11 +483,11 @@ class GestureServer:
             if not isinstance(s, dict):
                 raise ValueError(f"bad style entry: {s!r}")
             if "bvh_b64" in s:
-                p = write_upload(s["bvh_b64"], ".bvh")
+                p = self._write_upload(s["bvh_b64"], name, uploads, ".bvh")
                 frames = tuple(s["frames"]) if s.get("frames") else None
                 styles.append((p, frames))
             elif "bvh_path" in s:
-                p = check_path(s["bvh_path"], "style bvh")
+                p = self._check_path(s["bvh_path"], "style bvh")
                 frames = tuple(s["frames"]) if s.get("frames") else None
                 styles.append((p, frames))
             elif "label" in s:
@@ -366,14 +501,31 @@ class GestureServer:
                 styles.append(label)
             else:
                 raise ValueError(f"bad style entry: {s}")
+        return styles
 
+    def _parse_first_pose(self, payload, name, uploads, styles):
         first_pose = payload.get("first_pose")
         if payload.get("first_pose_bvh_b64"):
-            first_pose = write_upload(payload["first_pose_bvh_b64"], ".bvh")
+            first_pose = self._write_upload(
+                payload["first_pose_bvh_b64"], name, uploads, ".bvh")
         elif first_pose is not None:
-            first_pose = check_path(first_pose, "first_pose")
+            first_pose = self._check_path(first_pose, "first_pose")
         if first_pose is None and not any(isinstance(s, tuple) for s in styles):
             raise ValueError("label styles require first_pose (generate.py:276)")
+        return first_pose
+
+    def _build_job(self, payload, name, display_name, uploads):
+        if payload.get("audio_wav_b64"):
+            audio = self._tmp_root / "uploads" / f"{name}.wav"
+            audio.parent.mkdir(parents=True, exist_ok=True)
+            audio.write_bytes(base64.b64decode(payload["audio_wav_b64"]))
+        elif payload.get("audio_path"):
+            audio = self._check_path(payload["audio_path"], "audio_path")
+        else:
+            raise ValueError("need audio_path or audio_wav_b64")
+
+        styles = self._parse_styles(payload, name, uploads)
+        first_pose = self._parse_first_pose(payload, name, uploads, styles)
 
         n_styles = len(styles)
         blend_ratio = payload.get("blend_ratio") or [1.0 / n_styles] * n_styles
@@ -420,10 +572,78 @@ class GestureServer:
         while not self._stop.is_set():
             try:
                 self._run_one_batch()
+                self._gc_sessions()
             except Exception:  # keep serving even on unexpected errors
                 import traceback
 
                 traceback.print_exc()
+
+    # -- streaming sessions (scheduler thread only) -----------------------
+
+    def _gc_sessions(self):
+        now = time.monotonic()
+        for sid in [s for s, e in self._sessions.items()
+                    if now - e["last"] > self.session_ttl_s]:
+            del self._sessions[sid]
+
+    def _run_stream_op(self, op):
+        if not op.abandoned:
+            try:
+                op.result = op.fn()
+            except Exception as e:
+                op.error = f"{type(e).__name__}: {e}"
+        op.done.set()
+        with self._inflight_lock:
+            self._inflight -= 1
+
+    def _op_stream_start(self, styles, first_pose, payload, uploads):
+        try:
+            if len(self._sessions) >= self.max_sessions:
+                return {"_status": 429,
+                        "error": f"too many live sessions ({self.max_sessions})"}
+            n = len(styles)
+            blend_ratio = payload.get("blend_ratio") or [1.0 / n] * n
+            if len(blend_ratio) != n:
+                raise ValueError("blend_ratio length != styles length")
+            sess = self.pipe.streaming_session(
+                styles, first_pose=first_pose,
+                blend_ratio=[float(r) for r in blend_ratio],
+                temperature=float(payload.get("temperature", 1.0)),
+                seed=int(payload.get("seed", 1234)),
+                quantum=int(payload.get("quantum", self.stream_quantum)),
+            )
+            sid = uuid.uuid4().hex
+            self._sessions[sid] = {"sess": sess, "last": time.monotonic()}
+            # frame 0 (the first-pose state) is emitted at construction and
+            # would otherwise never come out of a push
+            return {"session_id": sid, "frames": _encode_frames(sess._collect(0))}
+        finally:
+            # style/pose uploads are single-use: encodings live in the session
+            for p in uploads:
+                p.unlink(missing_ok=True)
+
+    def _op_stream_push(self, sid, audio):
+        entry = self._sessions.get(sid)
+        if entry is None:  # expired between handler check and scheduling
+            return {"_status": 404, "error": f"unknown session: {sid!r}"}
+        entry["last"] = time.monotonic()
+        return {"frames": _encode_frames(entry["sess"].push(audio))}
+
+    def _op_stream_finish(self, sid, want_bvh=False):
+        entry = self._sessions.pop(sid, None)
+        if entry is None:
+            return {"_status": 404, "error": f"unknown session: {sid!r}"}
+        sess = entry["sess"]
+        out = {"frames": _encode_frames(sess.finish()),
+               "total_frames": sess.frames_emitted}
+        if want_bvh:
+            out_dir = self._tmp_root / f"stream_{sid}"
+            try:
+                sess.write_bvh(out_dir, "out")
+                out["bvh"] = (out_dir / "out.bvh").read_text()
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        return out
 
     def _discard_job_files(self, j):
         """Remove a job's b64 upload files without completing it (jobs
@@ -442,6 +662,11 @@ class GestureServer:
 
     def _run_one_batch(self):
         dequeued = self._drain_batch()
+        # streaming ops run first, individually — the scheduler thread owns
+        # all device work, so a session push never overlaps a batched rollout
+        for op in [j for j in dequeued if isinstance(j, _StreamOp)]:
+            self._run_stream_op(op)
+        dequeued = [j for j in dequeued if not isinstance(j, _StreamOp)]
         # a handler that already replied 504 has nobody reading the result
         jobs = [j for j in dequeued if not j.abandoned]
         for j in dequeued:
@@ -525,5 +750,11 @@ class GestureServer:
             except Empty:
                 break
             j.error = "server stopped"
-            self._finish_job(j)
+            if isinstance(j, _StreamOp):
+                j.done.set()
+                with self._inflight_lock:
+                    self._inflight -= 1
+            else:
+                self._finish_job(j)
+        self._sessions.clear()
         shutil.rmtree(self._tmp_root, ignore_errors=True)
