@@ -535,6 +535,58 @@ def test_stream_unknown_session_404_and_bad_start_400(server):
     assert code == 404
 
 
+def test_stream_finish_empty_is_400_and_session_survives(server, tmp_path):
+    """Finishing before any audio was pushed must answer 400 (client edge
+    case, not a 500) and keep the session usable."""
+    srv, port, clips, _ = server
+    style_bvh, audio_wav = clips[0]
+    from zeggs_tpu.io.wav import read_wavfile
+
+    out = _post_path(port, "/stream/start", {
+        "styles": [{"bvh_b64": base64.b64encode(
+            style_bvh.read_bytes()).decode()}],
+        "seed": 3, "quantum": 1,
+    })
+    sid = out["session_id"]
+    code, body = _post_code_path(port, "/stream/finish",
+                                 {"session_id": sid, "bvh": True})
+    assert code == 400 and "no audio" in body["error"]
+    # the session still works end to end
+    _, samples = read_wavfile(audio_wav, desired_fs=16000)
+    _post_path(port, "/stream/push", {
+        "session_id": sid,
+        "audio_f32_b64": base64.b64encode(
+            np.asarray(samples, "<f4").tobytes()).decode(),
+    })
+    fin = _post_path(port, "/stream/finish", {"session_id": sid, "bvh": True})
+    assert fin["total_frames"] == 180
+    _check_bvh(fin["bvh"], tmp_path, 180)
+
+
+def test_stream_max_sessions_429_is_counted(server):
+    """The max_sessions bound answers 429 with Retry-After and shows up in
+    /stats rejected_total, like every other rejection."""
+    srv, port, clips, _ = server
+    style_bvh, _ = clips[0]
+    fresh = GestureServer(srv.pipe, max_batch=2, max_wait_ms=10,
+                          max_sessions=1)
+    fport = fresh.start()
+    try:
+        payload = {"styles": [{"bvh_b64": base64.b64encode(
+            style_bvh.read_bytes()).decode()}]}
+        _post_path(fport, "/stream/start", payload)
+        rejected_before = _get(fport, "/stats")["rejected_total"]
+        try:
+            _post_path(fport, "/stream/start", payload)
+            raise AssertionError("expected 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert int(e.headers.get("Retry-After", 0)) >= 1
+        assert _get(fport, "/stats")["rejected_total"] == rejected_before + 1
+    finally:
+        fresh.stop()
+
+
 def test_stream_sessions_are_garbage_collected(server):
     """An idle session past session_ttl_s disappears (and /stats shows the
     live count); pushes to it answer 404 instead of leaking memory."""

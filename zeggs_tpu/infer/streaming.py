@@ -507,6 +507,12 @@ class StreamingSession:
 
     # -- public ---------------------------------------------------------------
 
+    @property
+    def samples_received(self):
+        """Total raw audio samples pushed so far (drives the offline frame
+        count at finish; lets callers reject finishing an empty stream)."""
+        return self._mel.n_samples
+
     def push(self, audio_chunk):
         """Feed raw samples; returns the dict of NEW gesture frames."""
         assert not self.finished

@@ -92,10 +92,33 @@ class _StreamOp:
 
     fn: object  # callable() -> response dict, run on the scheduler thread
     client_fault: bool = False  # errors reply 400 (start) instead of 500
+    session_id: Optional[str] = None  # for fail-stop on a late abandon
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     error: Optional[str] = None
     abandoned: bool = False
+    started: bool = False
+    _state: threading.Lock = field(default_factory=threading.Lock)
+
+    def claim_start(self):
+        """Scheduler-side: atomically mark the op running. False if the
+        handler already abandoned it (504 sent, nobody reads the result)."""
+        with self._state:
+            if self.abandoned:
+                return False
+            self.started = True
+            return True
+
+    def claim_abandon(self):
+        """Handler-side on deadline expiry: atomically abandon the op.
+        False if the scheduler already started executing it — a started
+        session op MUST NOT be silently dropped (the client would retry
+        and feed the same audio twice into a mutated session)."""
+        with self._state:
+            if self.started:
+                return False
+            self.abandoned = True
+            return True
 
 
 class _Stats:
@@ -230,10 +253,19 @@ class GestureServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
-            def _run_op(self, fn, client_fault=False):
+            def _run_op(self, fn, client_fault=False, uploads=(),
+                        session_id=None):
                 """Enqueue a _StreamOp and wait; same admission (429),
-                deadline (504), and shutdown (503) semantics as synthesis."""
-                op = _StreamOp(fn=fn, client_fault=client_fault)
+                deadline (504), and shutdown (503) semantics as synthesis.
+                ``uploads`` are unlinked on every path that prevents the op
+                from running (429/503/504) — an op that does run owns them."""
+                op = _StreamOp(fn=fn, client_fault=client_fault,
+                               session_id=session_id)
+
+                def drop_uploads():
+                    for p in uploads:
+                        p.unlink(missing_ok=True)
+
                 try:
                     with server._inflight_lock:
                         if server._stop.is_set():
@@ -241,24 +273,44 @@ class GestureServer:
                         server._queue.put_nowait(op)
                         server._inflight += 1
                 except Full:
+                    drop_uploads()
                     server.stats.record_rejected()
                     self._reply(429, {"error": "queue full, retry later"},
                                 headers=(("Retry-After", "1"),))
                     return
                 except _Stopped:
+                    # raced with stop(): the write above may have recreated
+                    # the already-rmtree'd tmp root — remove it again
+                    drop_uploads()
+                    shutil.rmtree(server._tmp_root, ignore_errors=True)
                     self._reply(503, {"error": "server shutting down"})
                     return
                 if not op.done.wait(timeout=server.request_timeout_s):
-                    op.abandoned = True
-                    server.stats.record_timeout()
-                    self._reply(504, {"error": "stream op timed out"})
-                    return
+                    if op.claim_abandon():
+                        drop_uploads()
+                        server.stats.record_timeout()
+                        self._reply(504, {"error": "stream op timed out"})
+                        return
+                    # the scheduler is ALREADY executing this op: dropping it
+                    # now would desync the session (a client retry re-feeds
+                    # consumed audio). Grant one more deadline; if even that
+                    # expires, fail-stop the whole session so the corruption
+                    # can never be silent.
+                    if not op.done.wait(timeout=server.request_timeout_s):
+                        if session_id is not None:
+                            server._sessions.pop(session_id, None)
+                        server.stats.record_timeout()
+                        self._reply(504, {"error": "stream op stuck; "
+                                          "session terminated"})
+                        return
                 if op.error is not None:
                     self._reply(400 if op.client_fault else 500,
                                 {"error": op.error})
                     return
-                status = op.result.pop("_status", 200) if op.result else 200
-                self._reply(status, op.result or {})
+                result = op.result or {}
+                status = result.pop("_status", 200)
+                headers = result.pop("_headers", ())
+                self._reply(status, result, headers=headers)
 
             def do_POST(self):
                 if self.path.startswith("/stream/"):
@@ -369,6 +421,8 @@ class GestureServer:
                         styles = server._parse_styles(payload, name, uploads)
                         first_pose = server._parse_first_pose(
                             payload, name, uploads, styles)
+                        blend_ratio = server._parse_blend_ratio(
+                            payload, len(styles))
                     except Exception as e:
                         for p in uploads:
                             p.unlink(missing_ok=True)
@@ -376,15 +430,19 @@ class GestureServer:
                         return
                     self._run_op(
                         lambda: server._op_stream_start(
-                            styles, first_pose, payload, uploads),
-                        client_fault=True,
+                            styles, first_pose, blend_ratio, payload, uploads),
+                        client_fault=True, uploads=uploads,
                     )
                     return
 
                 sid = payload.get("session_id")
-                if not sid or sid not in server._sessions:
+                entry = server._sessions.get(sid) if sid else None
+                if entry is None:
                     self._reply(404, {"error": f"unknown session: {sid!r}"})
                     return
+                # stamp activity at ENQUEUE: a push queued behind a long
+                # batch must not see its session GC'd while it waits
+                entry["last"] = time.monotonic()
                 if self.path == "/stream/push":
                     try:
                         audio = np.frombuffer(
@@ -393,10 +451,12 @@ class GestureServer:
                     except Exception as e:
                         self._reply(400, {"error": f"bad audio_f32_b64: {e}"})
                         return
-                    self._run_op(lambda: server._op_stream_push(sid, audio))
+                    self._run_op(lambda: server._op_stream_push(sid, audio),
+                                 session_id=sid)
                 elif self.path == "/stream/finish":
                     self._run_op(lambda: server._op_stream_finish(
-                        sid, want_bvh=bool(payload.get("bvh"))))
+                        sid, want_bvh=bool(payload.get("bvh"))),
+                        session_id=sid)
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -514,6 +574,12 @@ class GestureServer:
             raise ValueError("label styles require first_pose (generate.py:276)")
         return first_pose
 
+    def _parse_blend_ratio(self, payload, n_styles):
+        blend_ratio = payload.get("blend_ratio") or [1.0 / n_styles] * n_styles
+        if len(blend_ratio) != n_styles:
+            raise ValueError("blend_ratio length != styles length")
+        return [float(r) for r in blend_ratio]
+
     def _build_job(self, payload, name, display_name, uploads):
         if payload.get("audio_wav_b64"):
             audio = self._tmp_root / "uploads" / f"{name}.wav"
@@ -527,10 +593,7 @@ class GestureServer:
         styles = self._parse_styles(payload, name, uploads)
         first_pose = self._parse_first_pose(payload, name, uploads, styles)
 
-        n_styles = len(styles)
-        blend_ratio = payload.get("blend_ratio") or [1.0 / n_styles] * n_styles
-        if len(blend_ratio) != n_styles:
-            raise ValueError("blend_ratio length != styles length")
+        blend_ratio = self._parse_blend_ratio(payload, len(styles))
 
         req = Request(
             audio=audio,
@@ -540,7 +603,7 @@ class GestureServer:
             seed=int(payload.get("seed", 1234)),
             first_pose=first_pose,
             blend_type=str(payload.get("blend_type", "add")),
-            blend_ratio=[float(r) for r in blend_ratio],
+            blend_ratio=blend_ratio,
         )
         job = _Job(request=req, display_name=display_name,
                    t_enqueue=time.perf_counter(), upload_paths=uploads)
@@ -587,7 +650,7 @@ class GestureServer:
             del self._sessions[sid]
 
     def _run_stream_op(self, op):
-        if not op.abandoned:
+        if op.claim_start():
             try:
                 op.result = op.fn()
             except Exception as e:
@@ -596,18 +659,15 @@ class GestureServer:
         with self._inflight_lock:
             self._inflight -= 1
 
-    def _op_stream_start(self, styles, first_pose, payload, uploads):
+    def _op_stream_start(self, styles, first_pose, blend_ratio, payload,
+                         uploads):
         try:
             if len(self._sessions) >= self.max_sessions:
-                return {"_status": 429,
+                self.stats.record_rejected()
+                return {"_status": 429, "_headers": (("Retry-After", "5"),),
                         "error": f"too many live sessions ({self.max_sessions})"}
-            n = len(styles)
-            blend_ratio = payload.get("blend_ratio") or [1.0 / n] * n
-            if len(blend_ratio) != n:
-                raise ValueError("blend_ratio length != styles length")
             sess = self.pipe.streaming_session(
-                styles, first_pose=first_pose,
-                blend_ratio=[float(r) for r in blend_ratio],
+                styles, first_pose=first_pose, blend_ratio=blend_ratio,
                 temperature=float(payload.get("temperature", 1.0)),
                 seed=int(payload.get("seed", 1234)),
                 quantum=int(payload.get("quantum", self.stream_quantum)),
@@ -630,10 +690,18 @@ class GestureServer:
         return {"frames": _encode_frames(entry["sess"].push(audio))}
 
     def _op_stream_finish(self, sid, want_bvh=False):
-        entry = self._sessions.pop(sid, None)
+        entry = self._sessions.get(sid)
         if entry is None:
             return {"_status": 404, "error": f"unknown session: {sid!r}"}
         sess = entry["sess"]
+        # finishing a stream that never received a frame's worth of audio
+        # would assert inside StreamingSession.finish; the session stays
+        # alive so the client can push and finish properly
+        if int(round(60.0 * sess.samples_received
+                     / self.pipe.mel_cfg.sampling_rate)) < 1:
+            return {"_status": 400,
+                    "error": "no audio pushed; stream cannot finish empty"}
+        del self._sessions[sid]
         out = {"frames": _encode_frames(sess.finish()),
                "total_frames": sess.frames_emitted}
         if want_bvh:
@@ -749,12 +817,15 @@ class GestureServer:
                 j = self._queue.get_nowait()
             except Empty:
                 break
-            j.error = "server stopped"
             if isinstance(j, _StreamOp):
+                # 503, not an op "error": a shutdown is the server's doing,
+                # and client_fault ops must not see it as a 400
+                j.result = {"_status": 503, "error": "server stopped"}
                 j.done.set()
                 with self._inflight_lock:
                     self._inflight -= 1
             else:
+                j.error = "server stopped"
                 self._finish_job(j)
         self._sessions.clear()
         shutil.rmtree(self._tmp_root, ignore_errors=True)
