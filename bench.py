@@ -413,7 +413,7 @@ def main():
         # realtime factor (VERDICT r3 item 6)
         stages.append(("streaming",
                        [os.path.join(_REPO, "scripts", "bench_streaming.py"),
-                        "--seconds", "30"], 240))
+                        "--seconds", "30", "--http"], 300))
 
     for key, argv, est in stages:
         if remaining() < est:

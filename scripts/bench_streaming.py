@@ -59,11 +59,72 @@ def run_session(pipe, style, audio, push, quantum):
     )
 
 
+def run_http_session(pipe, style, audio, push, quantum):
+    """Same live feed through the daemon's /stream endpoints: measures what
+    a network client of the serving daemon actually sees (HTTP + base64 +
+    scheduler-queue overhead on top of the session engine)."""
+    import base64
+    import urllib.request
+
+    from zeggs_tpu.serve.server import GestureServer
+
+    srv = GestureServer(pipe, max_batch=8, max_wait_ms=10)
+    port = srv.start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    try:
+        style_bvh, style_frames = style
+        entry = {"bvh_b64": base64.b64encode(
+            Path(style_bvh).read_bytes()).decode()}
+        if style_frames is not None:  # same example shape = same programs
+            entry["frames"] = list(style_frames)
+        t0 = time.perf_counter()
+        out = post("/stream/start",
+                   {"styles": [entry], "seed": 1, "quantum": quantum})
+        sid = out["session_id"]
+        ttff = None
+        lats = []
+        frames = out["frames"]["n"]
+        for o in range(0, len(audio), push):
+            chunk = np.asarray(audio[o:o + push], "<f4")
+            t1 = time.perf_counter()
+            r = post("/stream/push", {
+                "session_id": sid,
+                "audio_f32_b64": base64.b64encode(chunk.tobytes()).decode()})
+            lats.append(time.perf_counter() - t1)
+            frames += r["frames"]["n"]
+            if ttff is None and frames > 1:
+                ttff = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        fin = post("/stream/finish", {"session_id": sid})
+        finish_lat = time.perf_counter() - t1
+        total = time.perf_counter() - t0
+        frames += fin["frames"]["n"]
+        return dict(
+            ttff_s=ttff, push_p50_s=float(np.percentile(lats, 50)),
+            push_p95_s=float(np.percentile(lats, 95)), finish_s=finish_lat,
+            total_s=total, frames=frames,
+            realtime_factor=(frames / 60.0) / total,
+        )
+    finally:
+        srv.stop()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--push-ms", type=float, default=500.0)
     ap.add_argument("--quantum", type=int, default=16)
+    ap.add_argument("--http", action="store_true",
+                    help="also drive the daemon's /stream endpoints and "
+                         "report the client-observed numbers")
     ap.add_argument("--root", type=str, default="/tmp/zeggs_stream_bench")
     args = ap.parse_args(argv)
 
@@ -83,6 +144,10 @@ def main(argv=None):
     run_session(pipe, style, audio, push, args.quantum)
     r = run_session(pipe, style, audio, push, args.quantum)
     r.update(seconds=args.seconds, push_ms=args.push_ms, quantum=args.quantum)
+    if args.http:
+        h = run_http_session(pipe, style, audio, push, args.quantum)
+        r["http"] = {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in h.items()}
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}))
 
 
