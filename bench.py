@@ -405,9 +405,13 @@ def main():
         # end-to-end serving (20-clip CSV replay: featurization + rollouts +
         # BVH writes; batched makespan + sequential p50/p99 + the HTTP
         # daemon under 20-way concurrent load: p50/p99 + 429/504 accounting)
+        # bench_serve is itself budget-aware (phases in priority order:
+        # batched -> daemon -> sequential, partial JSON always printed), so
+        # a modest estimate is enough to let it run and fit what it can.
         stages.append(("serve",
                        [os.path.join(_REPO, "scripts", "bench_serve.py"),
-                        "--requests", "20", "--daemon"], 480))
+                        "--requests", "20", "--daemon", "--budget-from-remaining"],
+                       240))
     if on_tpu and os.environ.get("ZEGGS_BENCH_STREAMING", "1") != "0":
         # live streaming session: time-to-first-frame, per-push latency,
         # realtime factor (VERDICT r3 item 6)
@@ -424,7 +428,13 @@ def main():
             _emit(core, extras)
             continue
         try:
-            extras[key] = _run_stage(argv, timeout=max(60.0, remaining() - 20.0))
+            stage_timeout = max(60.0, remaining() - 20.0)
+            # budget-aware stages receive the actual remaining wall-clock
+            # (minus the kill margin) so they can fit phases themselves
+            if "--budget-from-remaining" in argv:
+                argv = [a for a in argv if a != "--budget-from-remaining"]
+                argv += ["--budget", str(round(stage_timeout - 15.0, 1))]
+            extras[key] = _run_stage(argv, timeout=stage_timeout)
         except Exception as e:
             print(f"# {key} bench failed: {e}", file=sys.stderr)
             extras[key] = {"failed": str(e)[:300]}
