@@ -419,7 +419,7 @@ def main():
                        [os.path.join(_REPO, "scripts", "bench_streaming.py"),
                         "--seconds", "30", "--http"], 300))
 
-    for key, argv, est in stages:
+    for i, (key, argv, est) in enumerate(stages):
         if remaining() < est:
             extras[key] = {"skipped_over_budget": True,
                            "remaining_s": round(remaining(), 1)}
@@ -429,11 +429,15 @@ def main():
             continue
         try:
             stage_timeout = max(60.0, remaining() - 20.0)
-            # budget-aware stages receive the actual remaining wall-clock
-            # (minus the kill margin) so they can fit phases themselves
+            # budget-aware stages receive the remaining wall-clock minus
+            # the kill margin AND the later stages' estimates, so fitting
+            # their own phases cannot starve the stages behind them
             if "--budget-from-remaining" in argv:
+                later_est = sum(e for _, _, e in stages[i + 1:])
+                stage_budget = max(est, stage_timeout - 15.0 - later_est)
+                stage_timeout = min(stage_timeout, stage_budget + 30.0)
                 argv = [a for a in argv if a != "--budget-from-remaining"]
-                argv += ["--budget", str(round(stage_timeout - 15.0, 1))]
+                argv += ["--budget", str(round(stage_budget, 1))]
             extras[key] = _run_stage(argv, timeout=stage_timeout)
         except Exception as e:
             print(f"# {key} bench failed: {e}", file=sys.stderr)
