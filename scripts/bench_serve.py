@@ -303,10 +303,16 @@ def main(argv=None, quiet=False):
                     result["seq_warm_skipped_over_budget"] = True
                     break
             lat = np.asarray(lat)
-            result["seq_p50_s"] = round(float(np.percentile(lat, 50)), 3)
-            result["seq_p95_s"] = round(float(np.percentile(lat, 95)), 3)
-            result["seq_p99_s"] = round(float(np.percentile(lat, 99)), 3)
-            result["seq_clips_per_s"] = round(len(lat) / float(lat.sum()), 3)
+            # compile-inclusive (cold) latencies are a different population
+            # than warm ones: when the warm pass was skipped, emit the cold
+            # percentiles under DISTINCT keys so cross-round comparisons can
+            # never silently mix the two distributions (ADVICE r4)
+            pre = ("seq_cold_" if result.get("seq_warm_skipped_over_budget")
+                   else "seq_")
+            result[pre + "p50_s"] = round(float(np.percentile(lat, 50)), 3)
+            result[pre + "p95_s"] = round(float(np.percentile(lat, 95)), 3)
+            result[pre + "p99_s"] = round(float(np.percentile(lat, 99)), 3)
+            result[pre + "clips_per_s"] = round(len(lat) / float(lat.sum()), 3)
         except Exception as e:
             print(f"# sequential phase failed: {e}", file=sys.stderr)
             result["seq_failed"] = str(e)[:200]

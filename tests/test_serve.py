@@ -644,3 +644,94 @@ def test_bad_request_does_not_fail_cobatched_neighbor(server, tmp_path):
         t.join()
     assert results["bad"] == 500
     _check_bvh(results["good"]["bvh"], tmp_path, int(round(60 * 3.0)))
+
+
+def test_push_queued_behind_slow_batch_survives_gc(tmp_path_factory):
+    """ADVICE r4 (medium): a /stream/push queued while a batch slower than
+    session_ttl_s holds the scheduler must NOT see its session GC'd — the
+    per-session queued-op counter makes GC skip it."""
+    import time
+
+    root = tmp_path_factory.mktemp("gc_race")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=1, nframes=120)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    srv = GestureServer(pipe, max_batch=2, max_wait_ms=10, session_ttl_s=0.5)
+
+    def fake_synthesize(jobs, batch_size=None):
+        time.sleep(1.2)  # > ttl: pre-fix, the waiting session got collected
+        now = time.perf_counter()
+        for j in jobs:
+            j.bvh_text = "FAKE_BVH"
+            j.t_done = now
+            j.batch_size = batch_size or len(jobs)
+
+    srv._synthesize = fake_synthesize
+    port = srv.start()
+    try:
+        style_bvh, audio_wav = clips[0]
+        out = _post_path(port, "/stream/start", {"styles": [
+            {"bvh_b64": base64.b64encode(style_bvh.read_bytes()).decode()}]})
+        sid = out["session_id"]
+        t = threading.Thread(target=_post_code, args=(
+            port, {"audio_path": str(audio_wav), "style_path": str(style_bvh)}))
+        t.start()
+        time.sleep(0.3)  # batch is on the scheduler; the push queues behind it
+        chunk = np.zeros(1600, "<f4")
+        code, r = _post_code_path(port, "/stream/push", {
+            "session_id": sid,
+            "audio_f32_b64": base64.b64encode(chunk.tobytes()).decode()})
+        t.join()
+        assert code == 200, r
+        # with no ops queued the session still ages out normally
+        time.sleep(1.2)
+        assert _get(port, "/stats")["live_sessions"] == 0
+    finally:
+        srv.stop()
+
+
+def test_body_beyond_cap_gets_413(server):
+    """ADVICE r4: the client-declared Content-Length is bounded BEFORE any
+    read/allocation, on /synthesize and /stream/* alike."""
+    srv, _, clips, _ = server
+    fresh = GestureServer(srv.pipe, max_batch=2, max_wait_ms=10,
+                          max_body_bytes=1000)
+    port = fresh.start()
+    try:
+        big = {"audio_wav_b64": "A" * 4000, "style_label": 0}
+        code, body = _post_code(port, big)
+        assert code == 413 and "body too large" in body["error"]
+        code, body = _post_code_path(port, "/stream/push",
+                                     {"session_id": "x", "pad": "A" * 4000})
+        assert code == 413
+        # under the cap still parses (and fails for a normal reason)
+        code, body = _post_code(port, {"style_label": 0})
+        assert code == 400
+    finally:
+        fresh.stop()
+
+
+def test_stream_push_audio_length_bounded(server):
+    """A single push longer than max_push_s of audio is a 400, not an
+    arbitrary-size allocation feeding the session."""
+    srv, _, clips, _ = server
+    style_bvh, _ = clips[0]
+    fresh = GestureServer(srv.pipe, max_batch=2, max_wait_ms=10,
+                          max_push_s=0.01)  # 160 samples at 16 kHz
+    port = fresh.start()
+    try:
+        out = _post_path(port, "/stream/start", {"styles": [
+            {"bvh_b64": base64.b64encode(style_bvh.read_bytes()).decode()}]})
+        sid = out["session_id"]
+        chunk = np.zeros(16000, "<f4")
+        code, body = _post_code_path(port, "/stream/push", {
+            "session_id": sid,
+            "audio_f32_b64": base64.b64encode(chunk.tobytes()).decode()})
+        assert code == 400 and "push too long" in body["error"]
+        # a within-bound push still works
+        ok = _post_path(port, "/stream/push", {
+            "session_id": sid,
+            "audio_f32_b64": base64.b64encode(
+                chunk[:100].tobytes()).decode()})
+        assert "frames" in ok
+    finally:
+        fresh.stop()

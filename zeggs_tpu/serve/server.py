@@ -183,7 +183,8 @@ class GestureServer:
     def __init__(self, pipe, host="127.0.0.1", port=0, max_batch=64,
                  max_wait_ms=30, bucket=512, mesh=None, max_queue=256,
                  request_timeout_s=900.0, allow_paths=None, drain_s=30.0,
-                 max_sessions=16, session_ttl_s=600.0, stream_quantum=16):
+                 max_sessions=16, session_ttl_s=600.0, stream_quantum=16,
+                 max_body_bytes=64 << 20, max_push_s=120.0):
         """``max_queue`` bounds the scheduler queue: a burst beyond chip
         throughput gets 429 + Retry-After instead of unbounded memory and
         thread growth. ``request_timeout_s`` bounds how long a handler
@@ -193,7 +194,10 @@ class GestureServer:
         payload fields that read server-visible files; default: enabled
         only for loopback binds — non-loopback servers accept b64 uploads
         only, unless explicitly overridden. ``drain_s`` bounds the graceful
-        drain of queued work in :meth:`stop`."""
+        drain of queued work in :meth:`stop`. ``max_body_bytes`` caps the
+        request body read from any POST (413 beyond it) and ``max_push_s``
+        caps the decoded audio per /stream/push (400 beyond it) — a client
+        can never make the server allocate unbounded memory per request."""
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait_ms = float(max_wait_ms)
@@ -211,6 +215,14 @@ class GestureServer:
         self.max_sessions = int(max_sessions)
         self.session_ttl_s = float(session_ttl_s)
         self.stream_quantum = int(stream_quantum)
+        self.max_body_bytes = int(max_body_bytes)
+        self.max_push_samples = int(
+            float(max_push_s) * pipe.mel_cfg.sampling_rate)
+        # _sessions is mutated from handler threads (queued-op accounting,
+        # fail-stop) AND the scheduler thread (start/finish/GC): every map
+        # mutation or iteration holds this lock. Session *entries* (plain
+        # dicts) are only field-stamped, which is atomic in CPython.
+        self._sessions_lock = threading.Lock()
         self._sessions: dict = {}
         self._queue: Queue = Queue(maxsize=int(max_queue))
         self._inflight = 0
@@ -226,6 +238,28 @@ class GestureServer:
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet access log
                 pass
+
+            def _read_json(self):
+                """Read+parse the request body, bounded by max_body_bytes:
+                the declared Content-Length is client-controlled, so it is
+                checked BEFORE any allocation (413), and the read itself is
+                capped so a lying header can't slip past the check either.
+                Returns the payload dict or None (reply already sent)."""
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return None
+                if length > server.max_body_bytes:
+                    self._reply(413, {"error": f"body too large ({length} > "
+                                      f"{server.max_body_bytes} bytes)"})
+                    return None
+                try:
+                    body = self.rfile.read(min(length, server.max_body_bytes))
+                    return json.loads(body or b"{}")
+                except Exception as e:
+                    self._reply(400, {"error": f"bad json: {e}"})
+                    return None
 
             def _reply(self, code, obj, headers=()):
                 body = json.dumps(obj).encode()
@@ -266,6 +300,12 @@ class GestureServer:
                     for p in uploads:
                         p.unlink(missing_ok=True)
 
+                # count the op against its session BEFORE enqueueing, so GC
+                # can never collect a session whose op is still queued (a
+                # single cold batch compile can exceed session_ttl_s); the
+                # settle path (_settle_op) decrements exactly once for every
+                # op that made it into the queue.
+                server._session_op_enqueued(session_id)
                 try:
                     with server._inflight_lock:
                         if server._stop.is_set():
@@ -273,6 +313,7 @@ class GestureServer:
                         server._queue.put_nowait(op)
                         server._inflight += 1
                 except Full:
+                    server._session_op_settled(session_id)
                     drop_uploads()
                     server.stats.record_rejected()
                     self._reply(429, {"error": "queue full, retry later"},
@@ -281,12 +322,16 @@ class GestureServer:
                 except _Stopped:
                     # raced with stop(): the write above may have recreated
                     # the already-rmtree'd tmp root — remove it again
+                    server._session_op_settled(session_id)
                     drop_uploads()
                     shutil.rmtree(server._tmp_root, ignore_errors=True)
                     self._reply(503, {"error": "server shutting down"})
                     return
                 if not op.done.wait(timeout=server.request_timeout_s):
                     if op.claim_abandon():
+                        # the op stays queued; the scheduler will dequeue it,
+                        # see the abandon, and settle it (decrementing the
+                        # session's queued count) — uploads die here though
                         drop_uploads()
                         server.stats.record_timeout()
                         self._reply(504, {"error": "stream op timed out"})
@@ -298,7 +343,8 @@ class GestureServer:
                     # can never be silent.
                     if not op.done.wait(timeout=server.request_timeout_s):
                         if session_id is not None:
-                            server._sessions.pop(session_id, None)
+                            with server._sessions_lock:
+                                server._sessions.pop(session_id, None)
                         server.stats.record_timeout()
                         self._reply(504, {"error": "stream op stuck; "
                                           "session terminated"})
@@ -319,11 +365,8 @@ class GestureServer:
                 if self.path != "/synthesize":
                     self._reply(404, {"error": "not found"})
                     return
-                try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(length) or b"{}")
-                except Exception as e:
-                    self._reply(400, {"error": f"bad json: {e}"})
+                payload = self._read_json()
+                if payload is None:
                     return
                 if server._draining.is_set() or server._stop.is_set():
                     self._reply(503, {"error": "server shutting down"})
@@ -403,12 +446,9 @@ class GestureServer:
                 base64 float32 arrays keyed root_pos (n,3), root_rot (n,4),
                 lpos (n,J,3), ltxy (n,J,2,3) — exactly the offline frames
                 (tests/test_streaming.py). Sessions idle past session_ttl_s
-                are garbage-collected."""
-                try:
-                    length = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(length) or b"{}")
-                except Exception as e:
-                    self._reply(400, {"error": f"bad json: {e}"})
+                with no queued ops are garbage-collected."""
+                payload = self._read_json()
+                if payload is None:
                     return
                 if server._draining.is_set() or server._stop.is_set():
                     self._reply(503, {"error": "server shutting down"})
@@ -436,13 +476,16 @@ class GestureServer:
                     return
 
                 sid = payload.get("session_id")
-                entry = server._sessions.get(sid) if sid else None
+                with server._sessions_lock:
+                    entry = server._sessions.get(sid) if sid else None
+                    if entry is not None:
+                        # stamp activity at ENQUEUE; the queued-op counter
+                        # (incremented in _run_op) is what actually protects
+                        # a push queued behind a long batch from GC
+                        entry["last"] = time.monotonic()
                 if entry is None:
                     self._reply(404, {"error": f"unknown session: {sid!r}"})
                     return
-                # stamp activity at ENQUEUE: a push queued behind a long
-                # batch must not see its session GC'd while it waits
-                entry["last"] = time.monotonic()
                 if self.path == "/stream/push":
                     try:
                         audio = np.frombuffer(
@@ -450,6 +493,11 @@ class GestureServer:
                             dtype="<f4")
                     except Exception as e:
                         self._reply(400, {"error": f"bad audio_f32_b64: {e}"})
+                        return
+                    if audio.size > server.max_push_samples:
+                        self._reply(400, {
+                            "error": f"push too long ({audio.size} samples > "
+                                     f"{server.max_push_samples}); chunk it"})
                         return
                     self._run_op(lambda: server._op_stream_push(sid, audio),
                                  session_id=sid)
@@ -641,13 +689,38 @@ class GestureServer:
 
                 traceback.print_exc()
 
-    # -- streaming sessions (scheduler thread only) -----------------------
+    # -- streaming sessions ------------------------------------------------
+
+    def _session_op_enqueued(self, sid):
+        """Handler-side: count a queued op against its session so GC skips
+        it for as long as the op waits (ADVICE r4: a cold multi-minute batch
+        compile ahead of a push must not cost the client its session)."""
+        if sid is None:
+            return
+        with self._sessions_lock:
+            entry = self._sessions.get(sid)
+            if entry is not None:
+                entry["queued"] = entry.get("queued", 0) + 1
+
+    def _session_op_settled(self, sid):
+        """Decrement the queued-op count; called exactly once per op that
+        was counted: on enqueue failure (handler), after the scheduler runs
+        or skips it (_run_stream_op), or in stop()'s flush."""
+        if sid is None:
+            return
+        with self._sessions_lock:
+            entry = self._sessions.get(sid)
+            if entry is not None:
+                entry["queued"] = max(0, entry.get("queued", 0) - 1)
+                entry["last"] = time.monotonic()
 
     def _gc_sessions(self):
         now = time.monotonic()
-        for sid in [s for s, e in self._sessions.items()
-                    if now - e["last"] > self.session_ttl_s]:
-            del self._sessions[sid]
+        with self._sessions_lock:
+            for sid in [s for s, e in self._sessions.items()
+                        if e.get("queued", 0) == 0
+                        and now - e["last"] > self.session_ttl_s]:
+                del self._sessions[sid]
 
     def _run_stream_op(self, op):
         if op.claim_start():
@@ -655,6 +728,7 @@ class GestureServer:
                 op.result = op.fn()
             except Exception as e:
                 op.error = f"{type(e).__name__}: {e}"
+        self._session_op_settled(op.session_id)
         op.done.set()
         with self._inflight_lock:
             self._inflight -= 1
@@ -673,7 +747,9 @@ class GestureServer:
                 quantum=int(payload.get("quantum", self.stream_quantum)),
             )
             sid = uuid.uuid4().hex
-            self._sessions[sid] = {"sess": sess, "last": time.monotonic()}
+            with self._sessions_lock:
+                self._sessions[sid] = {"sess": sess, "last": time.monotonic(),
+                                       "queued": 0}
             # frame 0 (the first-pose state) is emitted at construction and
             # would otherwise never come out of a push
             return {"session_id": sid, "frames": _encode_frames(sess._collect(0))}
@@ -683,14 +759,16 @@ class GestureServer:
                 p.unlink(missing_ok=True)
 
     def _op_stream_push(self, sid, audio):
-        entry = self._sessions.get(sid)
+        with self._sessions_lock:
+            entry = self._sessions.get(sid)
         if entry is None:  # expired between handler check and scheduling
             return {"_status": 404, "error": f"unknown session: {sid!r}"}
         entry["last"] = time.monotonic()
         return {"frames": _encode_frames(entry["sess"].push(audio))}
 
     def _op_stream_finish(self, sid, want_bvh=False):
-        entry = self._sessions.get(sid)
+        with self._sessions_lock:
+            entry = self._sessions.get(sid)
         if entry is None:
             return {"_status": 404, "error": f"unknown session: {sid!r}"}
         sess = entry["sess"]
@@ -701,7 +779,8 @@ class GestureServer:
                      / self.pipe.mel_cfg.sampling_rate)) < 1:
             return {"_status": 400,
                     "error": "no audio pushed; stream cannot finish empty"}
-        del self._sessions[sid]
+        with self._sessions_lock:
+            self._sessions.pop(sid, None)
         out = {"frames": _encode_frames(sess.finish()),
                "total_frames": sess.frames_emitted}
         if want_bvh:
@@ -821,11 +900,13 @@ class GestureServer:
                 # 503, not an op "error": a shutdown is the server's doing,
                 # and client_fault ops must not see it as a 400
                 j.result = {"_status": 503, "error": "server stopped"}
+                self._session_op_settled(j.session_id)
                 j.done.set()
                 with self._inflight_lock:
                     self._inflight -= 1
             else:
                 j.error = "server stopped"
                 self._finish_job(j)
-        self._sessions.clear()
+        with self._sessions_lock:
+            self._sessions.clear()
         shutil.rmtree(self._tmp_root, ignore_errors=True)
