@@ -126,9 +126,40 @@ def main(argv=None):
                     help="also drive the daemon's /stream endpoints and "
                          "report the client-observed numbers")
     ap.add_argument("--root", type=str, default="/tmp/zeggs_stream_bench")
+    ap.add_argument("--budget", type=float, default=0.0,
+                    help="wall-clock budget in seconds (0 = unbounded): a "
+                    "watchdog thread prints the partial JSON and exits 0 at "
+                    "budget+5 s even if a cold compile holds the main "
+                    "thread (same artifact contract as bench_serve)")
     args = ap.parse_args(argv)
+    t_main = time.perf_counter()
 
-    net_dir, data_dir, requests, _, opts = build_corpus(Path(args.root), n_requests=1)
+    def remaining():
+        return (args.budget - (time.perf_counter() - t_main)
+                if args.budget else float("inf"))
+
+    def emit(d):
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in d.items()}))
+
+    r = {"phase": "corpus"}
+    if args.budget:
+        import os as _os
+        import threading
+
+        finished = threading.Event()
+
+        def _watchdog():
+            if not finished.wait(timeout=args.budget + 5.0):
+                r["watchdog_fired"] = True
+                r["elapsed_s"] = round(time.perf_counter() - t_main, 1)
+                emit(r)
+                _os._exit(0)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
+    net_dir, data_dir, requests, _, opts, _lengths = build_corpus(
+        Path(args.root), n_requests=1)
     pipe = GesturePipeline(net_dir, data_dir, options=opts, fused_b1=False)
     style = requests[0].styles[0]
 
@@ -140,15 +171,30 @@ def main(argv=None):
              + 0.05 * rng.normal(size=n)).astype(np.float32)
     push = int(args.push_ms / 1e3 * sr)
 
-    # cold run compiles the bucketed programs; warm run is the number
+    # cold run compiles the bucketed programs (persisted as each finishes);
+    # the warm run is the number
+    r["phase"] = "cold_session"
+    t0 = time.perf_counter()
     run_session(pipe, style, audio, push, args.quantum)
-    r = run_session(pipe, style, audio, push, args.quantum)
-    r.update(seconds=args.seconds, push_ms=args.push_ms, quantum=args.quantum)
+    cold_s = time.perf_counter() - t0
+    print(f"# cold session: {cold_s:.1f}s", file=sys.stderr)
+    r["phase"] = "warm_session"
+    r.update(run_session(pipe, style, audio, push, args.quantum))
+    r.update(seconds=args.seconds, push_ms=args.push_ms, quantum=args.quantum,
+             cold_session_s=round(cold_s, 1))
+    if args.http and remaining() < 2.5 * max(cold_s, r["total_s"]) + 10:
+        print(f"# http phase skipped: {remaining():.0f}s left", file=sys.stderr)
+        r["http_skipped_over_budget"] = True
+        args.http = False
     if args.http:
+        r["phase"] = "http"
         h = run_http_session(pipe, style, audio, push, args.quantum)
         r["http"] = {k: (round(v, 4) if isinstance(v, float) else v)
                      for k, v in h.items()}
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}))
+    r["phase"] = "done"
+    if args.budget:
+        finished.set()
+    emit(r)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ devices are touched.
 
 import importlib.util
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -168,3 +169,75 @@ def test_full_run_summary_tolerates_malformed_curve(bench, monkeypatch, tmp_path
     s = bench._full_run_summary()
     assert s["completed"] is True and s["wall_h"] == 2.0
     assert s["loss_start"] == 5.4 and s["loss_final"] == 0.05
+
+
+def test_runaway_stage_costs_at_most_itself(bench, monkeypatch, capsys):
+    """VERDICT r4 item 3: a stage that overruns its granted budget mid-
+    flight (subprocess timeout fires) is recorded as failed, and every
+    LATER stage still runs while budget remains — serve's round-4 overrun
+    must never again take streaming down with it."""
+    import subprocess
+
+    clock = [1000.0]
+    monkeypatch.setattr(bench.time, "time", lambda: clock[0])
+
+    stage_log = []
+
+    def fake_run_stage(argv, timeout, env=None):
+        if "--stage" in argv:
+            clock[0] += 200.0  # core consumes 200s
+            return dict(CORE)
+        name = Path(argv[0]).name
+        if name == "bench_serve.py":
+            # runaway: consume the ENTIRE subprocess timeout, then die the
+            # way subprocess.run does
+            stage_log.append((name, argv, timeout))
+            clock[0] += timeout
+            raise subprocess.TimeoutExpired(argv, timeout)
+        stage_log.append((name, argv, timeout))
+        clock[0] += 30.0
+        return {"ran": name}
+
+    monkeypatch.setattr(bench, "_probe_tpu", lambda: True)
+    monkeypatch.setattr(bench, "_run_stage", fake_run_stage)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setenv("ZEGGS_BENCH_BUDGET_S", "1140")
+    bench.main()
+
+    last = _emitted_lines(capsys)[-1]
+    # serve failed but is RECORDED (not silently missing)
+    assert "failed" in last["extra"]["serve"]
+    # serve's grant reserved the later stages' estimates: its timeout must
+    # be far below the naive remaining-budget clamp (940-20 = 920s)
+    serve_timeout = next(t for n, a, t in stage_log if n == "bench_serve.py")
+    assert serve_timeout <= 400, serve_timeout
+    # and the --budget passed to bench_serve leaves the watchdog headroom
+    serve_argv = next(a for n, a, t in stage_log if n == "bench_serve.py")
+    budget_val = float(serve_argv[serve_argv.index("--budget") + 1])
+    assert budget_val + 5 < serve_timeout
+    # every later stage still ran
+    assert last["extra"]["streaming"] == {"ran": "bench_streaming.py"}
+    assert last["extra"]["train"] == {"ran": "device_train_bench.py"}
+    assert last["extra"]["train_bf16"] == {"ran": "device_train_bench.py"}
+
+
+def test_bench_serve_watchdog_emits_json_under_hard_budget(tmp_path):
+    """bench_serve must print a parseable JSON line and exit 0 even when its
+    budget expires inside an unpreemptible phase (cold compile): the
+    watchdog thread is the backstop. Run as a real subprocess on CPU with a
+    budget far below any cold-compile time."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "bench_serve.py"),
+         "--requests", "2", "--budget", "8",
+         "--root", str(tmp_path / "sb")],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    assert lines, proc.stdout
+    out = json.loads(lines[-1])
+    # either it finished unbelievably fast (warm cache) or the watchdog cut
+    # it — both must yield a well-formed artifact line
+    assert out.get("phase") == "done" or out.get("watchdog_fired") is True

@@ -46,6 +46,129 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def plan_programs(lengths, bucket=512, max_batch=64, n_dev=1):
+    """Predict the (T_pad, B_pad) rollout program shapes
+    :func:`generate_batch` will execute for clips of these lengths (frames).
+
+    Mirrors the bucketing/chunking below exactly; used by :func:`warmup`
+    and by operators sizing a serving deployment's compile budget."""
+    buckets = {}
+    for n in lengths:
+        T_pad = max(bucket, _round_up(int(n), bucket))
+        buckets.setdefault(T_pad, []).append(n)
+    plan = []
+    for T_pad, items in sorted(buckets.items()):
+        for chunk_start in range(0, len(items), max_batch):
+            B = len(items[chunk_start : chunk_start + max_batch])
+            B_pad = max(n_dev, 1 << (B - 1).bit_length())
+            B_pad = _round_up(min(B_pad, max_batch), n_dev)
+            B_pad = max(B_pad, _round_up(B, n_dev))
+            plan.append((T_pad, B_pad))
+    return sorted(set(plan))
+
+
+def warmup(pipe, lengths, bucket=512, max_batch=64, mesh=None,
+           style_jobs=None, all_pow2=False, deadline=None, log=None):
+    """Pre-compile the serving programs for clips of the given lengths.
+
+    Runs each (speech-encode, rollout) program pair ONCE on zero inputs —
+    one program at a time, checking ``deadline`` (a ``time.monotonic``
+    value) between programs — so every finished compile lands in the
+    in-process jit cache AND the persistent compile cache even when a later
+    one is cut off. Through a remote-compile tunnel each cold program costs
+    minutes; any source edit inside the jitted rollout invalidates every
+    bucket at once, so serving deployments (and the driver bench) run this
+    preflight before taking traffic.
+
+    all_pow2: also warm every power-of-two batch size up to ``max_batch``
+    per length bucket — the shapes a micro-batching daemon's partial drains
+    produce (serve/server.py), beyond the full-batch plan.
+    style_jobs: optional list of (example_len, count) to warm the batched
+    style-encoder programs used by ``encode_styles_batch``.
+
+    Returns {"compiled": [(T_pad, B_pad), ...], "skipped": [...],
+    "seconds": total, "complete": bool} — ``skipped`` names the programs a
+    caller must avoid (drop requests whose T_pad never compiled)."""
+    import time
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    plan = plan_programs(lengths, bucket=bucket, max_batch=max_batch, n_dev=n_dev)
+    if all_pow2:
+        t_pads = {t for t, _ in plan}
+        pow2s = []
+        b = max(1, n_dev)
+        while b <= max_batch:
+            pow2s.append(b)
+            b *= 2
+        extra = [(t, b) for t in sorted(t_pads) for b in pow2s]
+        # plan programs first (they serve the known traffic), then the
+        # daemon's partial-drain shapes, cheapest (smallest) first
+        plan = plan + sorted(set(extra) - set(plan))
+
+    J = pipe.njoints
+    n_audio = int(pipe.stats["audio_input_mean"].shape[0])
+    C = pipe.style_encoding_size
+    sharding = None
+    if mesh is not None:
+        from ..parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+
+    t_start = time.monotonic()
+    compiled, skipped = [], []
+
+    def expired():
+        return deadline is not None and time.monotonic() >= deadline
+
+    for T_pad, B_pad in plan:
+        if expired():
+            skipped.append((T_pad, B_pad))
+            continue
+        t0 = time.monotonic()
+        q = np.zeros((B_pad, 4), np.float32)
+        q[:, 0] = 1.0
+        ltxy = np.zeros((B_pad, J, 2, 3), np.float32)
+        ltxy[..., 0, 0] = 1.0
+        ltxy[..., 1, 1] = 1.0
+        state0 = (
+            jnp.zeros((B_pad, 3)), jnp.asarray(q), jnp.zeros((B_pad, 3)),
+            jnp.zeros((B_pad, 3)), jnp.zeros((B_pad, J, 3)), jnp.asarray(ltxy),
+            jnp.zeros((B_pad, J, 3)), jnp.zeros((B_pad, J, 3)),
+        )
+        speech = pipe._encode_speech_batched(
+            jnp.zeros((B_pad, T_pad, n_audio), jnp.float32))
+        args = (state0, jnp.zeros((B_pad, T_pad, 3)), speech,
+                jnp.zeros((B_pad, T_pad, C)))
+        if sharding is not None:
+            args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
+        jax.block_until_ready(pipe._rollout_fn(T_pad)(*args))
+        if log:
+            log(f"warm rollout T={T_pad} B={B_pad}: "
+                f"{time.monotonic() - t0:.1f}s")
+        compiled.append((T_pad, B_pad))
+
+    for L, count in (style_jobs or []):
+        if expired():
+            break
+        t0 = time.monotonic()
+        key = np.zeros(2, np.uint32)
+        # example feature vec = pose input incl. the zeroed gaze slot
+        # (modules.py:699-710 layout; pose.example_feature_vec)
+        jobs = [(np.zeros((int(L), 6 + J * 15 + 3), np.float32), 1.0, key)
+                for _ in range(int(count))]
+        pipe.encode_styles_batch(jobs)
+        if log:
+            log(f"warm style-encode L={L} N={count}: "
+                f"{time.monotonic() - t0:.1f}s")
+
+    return {
+        "compiled": compiled,
+        "skipped": skipped,
+        "seconds": round(time.monotonic() - t_start, 1),
+        "complete": not skipped,
+    }
+
+
 def _prepare_host(pipe, req: Request):
     """Host-only prep for one request: audio features, style-encode JOBS
     (deferred to one batched device call), first pose. No tunnel
