@@ -23,7 +23,14 @@ from pathlib import Path
 
 import numpy as np
 
+import os
+
 import jax
+
+# honor a CPU-only request even when the TPU plugin's sitecustomize
+# force-overrides JAX_PLATFORMS (same contract as bench_serve)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu" and jax.config.jax_platforms != "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/zeggs_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

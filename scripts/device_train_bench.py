@@ -109,11 +109,14 @@ def build_step(compute_dtype="float32", unroll=4, batchsize=32, remat=False):
     )
 
 
-def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=print, unroll=4):
+def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=print, unroll=4,
+        aot=True):
     """Time the device-resident-corpus train step at full v1 dimensions.
     Returns {"step_ms", "it_s", "frames_per_s"} (median of n_iters)."""
     cache_probe = _CacheProbe()
+    t_build0 = time.time()
     b = build_step(compute_dtype, unroll, batchsize, remat)
+    t_build = time.time() - t_build0
     step, corpus, ds, put_idx = b["step"], b["corpus"], b["ds"], b["put_idx"]
     params_s, opt_s, key = b["params_s"], b["opt_s"], b["key"]
 
@@ -130,11 +133,28 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
     # first jit call and the post-donation calls lower to two distinct
     # programs — two ~380 MB executable loads through the tunnel per run
     # (measured: the r3 driver run paid 452.5 s for the pair, cold).
+    # With aot=True the trace itself is also skipped when a source-
+    # fingerprinted jax.export artifact exists (VERDICT r4 item 2: tracing
+    # alone measured 47 s of the "compile" time on a persistent-cache HIT).
     idx0 = rng.integers(0, len(ds.window_starts), size=batchsize)
     args0 = put_idx(*corpus.sample_indices(idx0, 2 * rng.integers(128, 257)))
-    log("compiling device train step (AOT, single program)...", flush=True)
+    log(f"build: {t_build:.1f}s; compiling device train step "
+        "(AOT, single program)...", flush=True)
     t0 = time.time()
-    compiled = step.lower(params_s, opt_s, *args0, jnp.float32(0.0), key).compile()
+    aot_info = {}
+    if aot:
+        from zeggs_tpu.train.aot import cached_export
+
+        call, aot_info = cached_export(
+            f"train_step_{compute_dtype}_b{batchsize}",
+            step, (params_s, opt_s, *args0, jnp.float32(0.0), key),
+            extra=(compute_dtype, unroll, batchsize, remat, "v1"),
+            log=lambda m: log(m, flush=True),
+        )
+        compiled = call
+    else:
+        compiled = step.lower(params_s, opt_s, *args0,
+                              jnp.float32(0.0), key).compile()
     t_compile = time.time() - t0
     cache_state = ("persistent-cache HIT" if cache_probe.was_hit()
                    else "persistent-cache MISS (compiled fresh)")
@@ -143,6 +163,9 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
     params_s, opt_s, m = compiled(params_s, opt_s, *args0, jnp.float32(0.0), key)
     jax.block_until_ready(m["total_loss"])
     t_first = time.time() - t0
+    # in AOT mode the XLA compile happens inside the FIRST CALL (tracing was
+    # skipped); compile_s below reports trace/deserialize + compile + first
+    # execution either way so rounds stay comparable
     log(f"compile+first: {t_compile + t_first:.1f}s loss={float(m['total_loss']):.4f}",
         flush=True)
     # Per-step blocking, median of n_iters. Caveats of this environment's
@@ -173,14 +196,20 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
         "step_ms_median": round(t_med * 1e3, 1),
         "it_s": round(1.0 / t, 2),
         "frames_per_s": round(batchsize * ds.window / t, 1),
-        "compile_s": round(t_compile, 1),
+        "build_s": round(t_build, 1),
+        "compile_s": round(t_compile + t_first, 1),
+        "first_exec_s": round(t_first, 1),
         "compile_cache": "hit" if cache_probe.was_hit() else "miss",
+        **({"aot": aot_info.get("aot"),
+            "aot_load_s": aot_info.get("deserialize_s",
+                                       aot_info.get("trace_export_s"))}
+           if aot_info else {}),
     }
 
 
-def main(compute_dtype="float32", remat=False, as_json=False, unroll=4):
+def main(compute_dtype="float32", remat=False, as_json=False, unroll=4, aot=True):
     res = run(
-        compute_dtype=compute_dtype, remat=remat, unroll=unroll,
+        compute_dtype=compute_dtype, remat=remat, unroll=unroll, aot=aot,
         log=(lambda *a, **k: print(*a, file=sys.stderr, **k)) if as_json else print,
     )
     if as_json:
@@ -200,4 +229,5 @@ if __name__ == "__main__":
         remat="--remat" in sys.argv,
         as_json="--json" in sys.argv,
         unroll=_ur,
+        aot="--no-aot" not in sys.argv,
     )

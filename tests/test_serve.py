@@ -735,3 +735,83 @@ def test_stream_push_audio_length_bounded(server):
         assert "frames" in ok
     finally:
         fresh.stop()
+
+
+def test_concurrent_streams_and_batches_under_load(tmp_path_factory):
+    """VERDICT r4 item 5: many live /stream sessions progressing through the
+    scheduler ALONGSIDE batch /synthesize jobs — every session must make
+    fair progress to completion with exact frame accounting, batch jobs must
+    all succeed, handler threads must drain, and idle sessions must be
+    GC'd on TTL afterwards."""
+    import time
+
+    root = tmp_path_factory.mktemp("stream_load")
+    data_dir, net_dir, clips, opts = write_corpus(root, n_clips=1, nframes=120)
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    srv = GestureServer(pipe, max_batch=4, max_wait_ms=10, max_sessions=8,
+                        session_ttl_s=2.0)
+    port = srv.start()
+    style_bvh, audio_wav = clips[0]
+    style_b64 = base64.b64encode(style_bvh.read_bytes()).decode()
+    from zeggs_tpu.io.wav import read_wavfile
+
+    _, samples = read_wavfile(audio_wav, desired_fs=16000)
+    samples = np.asarray(samples, np.float32)  # 2 s = 120 frames
+
+    n_streams, n_batch = 6, 6
+    frames = [0] * n_streams
+    stream_err = [None] * n_streams
+    batch_codes = [None] * n_batch
+
+    def stream_client(i):
+        try:
+            out = _post_path(port, "/stream/start",
+                             {"styles": [{"bvh_b64": style_b64}],
+                              "seed": i, "quantum": 4})
+            sid = out["session_id"]
+            frames[i] += out["frames"]["n"]
+            for part in np.array_split(samples, 4):
+                r = _post_path(port, "/stream/push", {
+                    "session_id": sid,
+                    "audio_f32_b64": base64.b64encode(
+                        part.astype("<f4").tobytes()).decode()})
+                frames[i] += r["frames"]["n"]
+            fin = _post_path(port, "/stream/finish", {"session_id": sid})
+            frames[i] += fin["frames"]["n"]
+        except Exception as e:  # noqa: BLE001 - recorded for the assert
+            stream_err[i] = repr(e)
+
+    def batch_client(i):
+        code, _ = _post_code(port, {"audio_path": str(audio_wav),
+                                    "style_path": str(style_bvh), "seed": i})
+        batch_codes[i] = code
+
+    try:
+        threads = [threading.Thread(target=stream_client, args=(i,))
+                   for i in range(n_streams)]
+        threads += [threading.Thread(target=batch_client, args=(i,))
+                    for i in range(n_batch)]
+        n_threads_before = threading.active_count()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not any(t.is_alive() for t in threads), "a client starved"
+
+        assert stream_err == [None] * n_streams
+        # exact accounting: every session emitted exactly the offline count
+        assert frames == [120] * n_streams
+        assert batch_codes == [200] * n_batch
+        # sessions were bounded during the run and the map drains on TTL
+        assert len(srv._sessions) <= 8
+        deadline = time.monotonic() + 10.0
+        while srv._sessions and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert len(srv._sessions) == 0, "finished/idle sessions must be GC'd"
+        # handler threads drained back to near baseline (no thread leak)
+        time.sleep(0.5)
+        assert threading.active_count() <= n_threads_before + 2
+        snap = srv.stats.snapshot()
+        assert snap["errors_total"] == 0 and snap["timeouts_total"] == 0
+    finally:
+        srv.stop()

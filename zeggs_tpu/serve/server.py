@@ -508,7 +508,13 @@ class GestureServer:
                 else:
                     self._reply(404, {"error": "not found"})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # the default listen(5) backlog RSTs connect bursts at the
+            # kernel before the handler can answer 429 — admission control
+            # must happen in the application, not as dropped SYNs
+            request_queue_size = 128
+
+        self._httpd = _Server((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._scheduler = threading.Thread(target=self._run_scheduler, daemon=True)
 

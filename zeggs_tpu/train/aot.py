@@ -1,0 +1,107 @@
+"""AOT export-artifact cache: skip re-TRACING large jitted programs.
+
+The persistent XLA compile cache (/tmp/zeggs_jax_cache) removes the XLA
+compile on repeat runs, but a cold process still pays full Python TRACING of
+the program before the cache can even be consulted — measured 47 s for the
+pjit'd 256-step train step (scripts/compile_cost_probe.py; VERDICT r4
+item 2: "compile_s 167.7 on a HIT"). ``jax.export`` serializes the traced
+StableHLO, so a cold process deserializes in ~1 s and goes straight to the
+(cached) XLA compile.
+
+Export artifacts are keyed by a SOURCE FINGERPRINT: the hash of every
+``zeggs_tpu`` Python file plus the jax version plus caller-supplied extras
+(dtype, batch, unroll). Any source edit — whether or not it changes the
+traced program — invalidates the artifact, which then falls back to a
+normal trace+export. Correct-but-conservative: a stale artifact can never
+be served.
+
+The reference has no counterpart (TorchScript re-scripts every process,
+train.py:141-150); this is TPU-operational tooling for fast cold starts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import jax
+
+_PKG_ROOT = Path(__file__).resolve().parents[1]
+_REGISTERED = False
+
+
+def _register_pytrees():
+    """jax.export serialization needs named registrations for the custom
+    pytree nodes that cross the train step's boundary."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as jex
+
+    from .radam import RAdamState
+
+    jex.register_namedtuple_serialization(
+        RAdamState, serialized_name="zeggs_tpu.train.radam.RAdamState")
+    _REGISTERED = True
+
+
+def source_fingerprint(extra=()):
+    """sha256 over all zeggs_tpu sources + jax version + extras."""
+    h = hashlib.sha256()
+    h.update(jax.__version__.encode())
+    h.update(".".join(map(str, sys.version_info[:2])).encode())
+    for p in sorted(_PKG_ROOT.rglob("*.py")):
+        h.update(str(p.relative_to(_PKG_ROOT)).encode())
+        h.update(p.read_bytes())
+    for e in extra:
+        h.update(str(e).encode())
+    return h.hexdigest()[:16]
+
+
+def cached_export(name, jit_fn, args, extra=(), cache_dir="/tmp/zeggs_aot",
+                  log=None):
+    """Return (callable, info) for ``jit_fn`` with tracing skipped when a
+    fingerprint-matching export artifact exists.
+
+    The callable has ``jit_fn``'s signature (``Exported.call``); its first
+    invocation still performs the XLA compile (fast when the persistent
+    compile cache holds the program). ``info`` reports which path was taken
+    and the deserialize/trace+export timings.
+    """
+    import time
+
+    from jax import export as jex
+
+    _register_pytrees()
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    fp = source_fingerprint(extra)
+    path = cache_dir / f"{name}-{fp}.jaxexport"
+    info = {"artifact": str(path)}
+    if path.exists():
+        t0 = time.perf_counter()
+        exported = jex.deserialize(path.read_bytes())
+        info["aot"] = "deserialized"
+        info["deserialize_s"] = round(time.perf_counter() - t0, 2)
+        if log:
+            log(f"AOT artifact loaded in {info['deserialize_s']}s "
+                f"(tracing skipped): {path.name}")
+        return exported.call, info
+    t0 = time.perf_counter()
+    exported = jex.export(jit_fn)(*args)
+    info["trace_export_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    data = exported.serialize()
+    # keep only the freshest artifact per name: stale fingerprints are
+    # unreachable and the train step's StableHLO is a few MB each
+    for old in cache_dir.glob(f"{name}-*.jaxexport"):
+        old.unlink(missing_ok=True)
+    path.write_bytes(data)
+    info["aot"] = "exported"
+    info["serialize_s"] = round(time.perf_counter() - t0, 2)
+    info["artifact_bytes"] = len(data)
+    if log:
+        log(f"AOT artifact traced+exported in {info['trace_export_s']}s "
+            f"({len(data) / 1e6:.1f} MB): {path.name}")
+    return exported.call, info
