@@ -438,6 +438,11 @@ def main():
             if "--budget-from-remaining" in argv:
                 later_est = sum(e for _, _, e in stages[i + 1:])
                 stage_budget = max(est, stage_timeout - 15.0 - later_est)
+                # the stage's own watchdog (budget + 5 s) must fire BEFORE
+                # the subprocess SIGKILL or the partial-JSON contract is
+                # void; in the tight-budget regime the est floor above can
+                # exceed stage_timeout, so clamp it back under
+                stage_budget = min(stage_budget, stage_timeout - 10.0)
                 stage_timeout = min(stage_timeout, stage_budget + 30.0)
                 argv = [a for a in argv if a != "--budget-from-remaining"]
                 argv += ["--budget", str(round(stage_budget, 1))]

@@ -151,7 +151,6 @@ def main(argv=None):
 
     r = {"phase": "corpus"}
     if args.budget:
-        import os as _os
         import threading
 
         finished = threading.Event()
@@ -161,7 +160,7 @@ def main(argv=None):
                 r["watchdog_fired"] = True
                 r["elapsed_s"] = round(time.perf_counter() - t_main, 1)
                 emit(r)
-                _os._exit(0)
+                os._exit(0)
 
         threading.Thread(target=_watchdog, daemon=True).start()
 

@@ -62,8 +62,10 @@ class _CacheProbe:
         self.before = self._entries()
 
     def _entries(self):
+        # watch ALL entries: the AOT-exported call's compile writes under
+        # the export wrapper's name, not jit_step-*
         try:
-            return {p.name for p in self.cache_dir.glob("jit_step-*")}
+            return {p.name for p in self.cache_dir.glob("*")}
         except OSError:
             return set()
 
@@ -145,10 +147,16 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
     if aot:
         from zeggs_tpu.train.aot import cached_export
 
+        import hashlib
+
+        # the step bakes constants from THIS script (dt, _FakeDS dims,
+        # nlabels, ...) into the trace, so this script's own source must be
+        # part of the fingerprint or edits here would be served stale
+        self_fp = hashlib.sha256(Path(__file__).read_bytes()).hexdigest()[:8]
         call, aot_info = cached_export(
             f"train_step_{compute_dtype}_b{batchsize}",
             step, (params_s, opt_s, *args0, jnp.float32(0.0), key),
-            extra=(compute_dtype, unroll, batchsize, remat, "v1"),
+            extra=(compute_dtype, unroll, batchsize, remat, "v1", self_fp),
             log=lambda m: log(m, flush=True),
         )
         compiled = call
@@ -156,13 +164,17 @@ def run(compute_dtype="float32", remat=False, batchsize=32, n_iters=10, log=prin
         compiled = step.lower(params_s, opt_s, *args0,
                               jnp.float32(0.0), key).compile()
     t_compile = time.time() - t0
-    cache_state = ("persistent-cache HIT" if cache_probe.was_hit()
-                   else "persistent-cache MISS (compiled fresh)")
-    log(f"compile: {t_compile:.1f}s [{cache_state}]", flush=True)
+    log(f"compile: {t_compile:.1f}s", flush=True)
     t0 = time.time()
     params_s, opt_s, m = compiled(params_s, opt_s, *args0, jnp.float32(0.0), key)
     jax.block_until_ready(m["total_loss"])
     t_first = time.time() - t0
+    # probe AFTER the first call: in AOT mode the XLA compile happens inside
+    # the first invocation, so checking earlier would report HIT while the
+    # compile is still ahead
+    cache_state = ("persistent-cache HIT" if cache_probe.was_hit()
+                   else "persistent-cache MISS (compiled fresh)")
+    log(f"first-call cache: [{cache_state}]", flush=True)
     # in AOT mode the XLA compile happens inside the FIRST CALL (tracing was
     # skipped); compile_s below reports trace/deserialize + compile + first
     # execution either way so rounds stay comparable

@@ -103,9 +103,12 @@ def evaluate(root: Path, iteration: int, dtype="float32"):
         # frames 0-8 carry jerk 3-6 orders above steady state, then settle).
         # 0.5 s matches common gesture-eval practice; the transient is
         # reported separately so it can't hide.
-        warm = int(round(0.5 / ds.dt))
+        # clamp so a short validation clip (< ~0.6 s) still leaves >= 4
+        # frames for the 3rd-difference jerk instead of crashing the eval
+        warm = min(int(round(0.5 / ds.dt)), max(0, len(p_lpos) - 5))
         jerk_all = _mag(np.diff(p_lpos, n=3, axis=0) * (1.0 / ds.dt) ** 3)
-        transient_jerk_p95 = round(float(np.percentile(jerk_all[:warm], 95)), 2)
+        transient_jerk_p95 = (round(float(np.percentile(jerk_all[:warm], 95)), 2)
+                              if warm > 0 and len(jerk_all[:warm]) else None)
         p_root, p_lpos = p_root[warm:], p_lpos[warm:]
         g_root, g_lpos = g_root[warm:], g_lpos[warm:]
 

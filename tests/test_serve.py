@@ -706,6 +706,17 @@ def test_body_beyond_cap_gets_413(server):
         # under the cap still parses (and fails for a normal reason)
         code, body = _post_code(port, {"style_label": 0})
         assert code == 400
+
+        # a NEGATIVE Content-Length must 400 immediately: without the guard
+        # it turns rfile.read(-1) into read-until-EOF, bypassing the cap
+        # (the handler would hang below instead of answering)
+        import socket as _socket
+        with _socket.create_connection(("127.0.0.1", port), timeout=5) as s:
+            s.settimeout(5)
+            s.sendall(b"POST /synthesize HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: -1\r\n\r\n{}")
+            status = s.recv(64)
+        assert b"400" in status.split(b"\r\n", 1)[0]
     finally:
         fresh.stop()
 

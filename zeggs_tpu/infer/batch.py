@@ -149,7 +149,10 @@ def warmup(pipe, lengths, bucket=512, max_batch=64, mesh=None,
 
     for L, count in (style_jobs or []):
         if expired():
-            break
+            # record the cut so "complete" can't claim style programs were
+            # warmed when the deadline landed between the two loops
+            skipped.append(("style", int(L), int(count)))
+            continue
         t0 = time.monotonic()
         key = np.zeros(2, np.uint32)
         # example feature vec = pose input incl. the zeroed gaze slot

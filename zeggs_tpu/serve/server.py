@@ -250,6 +250,11 @@ class GestureServer:
                 except ValueError:
                     self._reply(400, {"error": "bad Content-Length"})
                     return None
+                if length < 0:
+                    # a negative length would turn rfile.read(-1) into
+                    # read-until-EOF, bypassing the cap entirely
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return None
                 if length > server.max_body_bytes:
                     self._reply(413, {"error": f"body too large ({length} > "
                                       f"{server.max_body_bytes} bytes)"})

@@ -22,6 +22,7 @@ train.py:141-150); this is TPU-operational tooling for fast cold starts.
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -47,10 +48,14 @@ def _register_pytrees():
 
 
 def source_fingerprint(extra=()):
-    """sha256 over all zeggs_tpu sources + jax version + extras."""
+    """sha256 over all zeggs_tpu sources + jax version + backend platform
+    + extras. The platform is part of the key because the exported
+    artifact's lowering is platform-specific: a TPU-lowered artifact must
+    never be deserialized by a CPU-fallback run (or vice versa)."""
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
     h.update(".".join(map(str, sys.version_info[:2])).encode())
+    h.update(jax.devices()[0].platform.encode())
     for p in sorted(_PKG_ROOT.rglob("*.py")):
         h.update(str(p.relative_to(_PKG_ROOT)).encode())
         h.update(p.read_bytes())
@@ -81,13 +86,23 @@ def cached_export(name, jit_fn, args, extra=(), cache_dir="/tmp/zeggs_aot",
     info = {"artifact": str(path)}
     if path.exists():
         t0 = time.perf_counter()
-        exported = jex.deserialize(path.read_bytes())
-        info["aot"] = "deserialized"
-        info["deserialize_s"] = round(time.perf_counter() - t0, 2)
-        if log:
-            log(f"AOT artifact loaded in {info['deserialize_s']}s "
-                f"(tracing skipped): {path.name}")
-        return exported.call, info
+        try:
+            exported = jex.deserialize(path.read_bytes())
+        except Exception as e:
+            # a truncated/corrupt artifact (e.g. a run killed mid-write
+            # before atomic replace existed) must degrade to re-tracing,
+            # never wedge every later run
+            info["deserialize_failed"] = repr(e)
+            path.unlink(missing_ok=True)
+            if log:
+                log(f"AOT artifact unreadable ({e!r}); re-tracing")
+        else:
+            info["aot"] = "deserialized"
+            info["deserialize_s"] = round(time.perf_counter() - t0, 2)
+            if log:
+                log(f"AOT artifact loaded in {info['deserialize_s']}s "
+                    f"(tracing skipped): {path.name}")
+            return exported.call, info
     t0 = time.perf_counter()
     exported = jex.export(jit_fn)(*args)
     info["trace_export_s"] = round(time.perf_counter() - t0, 2)
@@ -97,7 +112,11 @@ def cached_export(name, jit_fn, args, extra=(), cache_dir="/tmp/zeggs_aot",
     # unreachable and the train step's StableHLO is a few MB each
     for old in cache_dir.glob(f"{name}-*.jaxexport"):
         old.unlink(missing_ok=True)
-    path.write_bytes(data)
+    # atomic publish: bench/warmup subprocesses are killed at their budget
+    # by design, and a half-written artifact must never become visible
+    tmp = path.with_suffix(f".tmp{os.getpid()}")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
     info["aot"] = "exported"
     info["serialize_s"] = round(time.perf_counter() - t0, 2)
     info["artifact_bytes"] = len(data)
