@@ -361,6 +361,7 @@ def main():
               file=sys.stderr)
         stage_env = {"JAX_PLATFORMS": "cpu"}
 
+    t_core = time.time()
     core_argv = [os.path.join(_REPO, "bench.py"), "--stage", "core"]
     # clamp the first (TPU) attempt so a CPU retry still FITS the budget:
     # first-timeout + retry-timeout + margin <= budget, else a mid-core
@@ -379,7 +380,7 @@ def main():
     on_tpu = core["platform"] != "cpu"
 
     # Headline artifact FIRST — everything after this only enriches it.
-    extras = {}
+    extras = {"core_wall_s": round(time.time() - t_core, 1)}
     fr = _full_run_summary()
     if fr:
         extras["full_run"] = fr
@@ -431,6 +432,7 @@ def main():
             _emit(core, extras)
             continue
         try:
+            t_stage = time.time()
             stage_timeout = max(60.0, remaining() - 20.0)
             # budget-aware stages receive the remaining wall-clock minus
             # the kill margin AND the later stages' estimates, so fitting
@@ -447,6 +449,10 @@ def main():
                 argv = [a for a in argv if a != "--budget-from-remaining"]
                 argv += ["--budget", str(round(stage_budget, 1))]
             extras[key] = _run_stage(argv, timeout=stage_timeout)
+            # record what the stage actually cost so next round's estimates
+            # (and the driver's budget) can be tuned from data, not guesses
+            if isinstance(extras[key], dict):
+                extras[key]["stage_wall_s"] = round(time.time() - t_stage, 1)
         except Exception as e:
             print(f"# {key} bench failed: {e}", file=sys.stderr)
             extras[key] = {"failed": str(e)[:300]}

@@ -198,9 +198,15 @@ def main(argv=None, quiet=False):
 
     root = Path(args.root)
     result["phase"] = "corpus"  # watchdog partials say where the cut hit
+    t0 = time.perf_counter()
     net_dir, data_dir, requests, total_frames, opts, lengths = build_corpus(
         root, args.requests)
+    result["corpus_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    result["pipe_init_s"] = round(time.perf_counter() - t0, 1)
+    print(f"# corpus: {result['corpus_s']}s, pipeline init: "
+          f"{result['pipe_init_s']}s", file=sys.stderr)
     result["phase"] = "warmup"
 
     # ---- warmup: compile every program this bench will execute, one at a

@@ -164,9 +164,15 @@ def main(argv=None):
 
         threading.Thread(target=_watchdog, daemon=True).start()
 
+    t0 = time.perf_counter()
     net_dir, data_dir, requests, _, opts, _lengths = build_corpus(
         Path(args.root), n_requests=1)
+    r["corpus_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     pipe = GesturePipeline(net_dir, data_dir, options=opts, fused_b1=False)
+    r["pipe_init_s"] = round(time.perf_counter() - t0, 1)
+    print(f"# corpus: {r['corpus_s']}s, pipeline init: {r['pipe_init_s']}s",
+          file=sys.stderr)
     style = requests[0].styles[0]
 
     sr = pipe.mel_cfg.sampling_rate

@@ -88,9 +88,12 @@ def test_stage_results_enrich_and_reemit(bench, monkeypatch, capsys):
     # 1 headline + one re-emit per optional stage
     assert len(lines) == 5
     last = lines[-1]
-    assert last["extra"]["train"] == {"ran": "device_train_bench.py"}
-    assert last["extra"]["serve"] == {"ran": "bench_serve.py"}
-    assert last["extra"]["streaming"] == {"ran": "bench_streaming.py"}
+    assert last["extra"]["train"]["ran"] == "device_train_bench.py"
+    assert last["extra"]["serve"]["ran"] == "bench_serve.py"
+    assert last["extra"]["streaming"]["ran"] == "bench_streaming.py"
+    # every completed stage records its measured wall cost for estimate tuning
+    assert all("stage_wall_s" in last["extra"][k]
+               for k in ("train", "serve", "streaming"))
 
 
 def test_failed_optional_stage_never_kills_the_artifact(
@@ -216,9 +219,9 @@ def test_runaway_stage_costs_at_most_itself(bench, monkeypatch, capsys):
     budget_val = float(serve_argv[serve_argv.index("--budget") + 1])
     assert budget_val + 5 < serve_timeout
     # every later stage still ran
-    assert last["extra"]["streaming"] == {"ran": "bench_streaming.py"}
-    assert last["extra"]["train"] == {"ran": "device_train_bench.py"}
-    assert last["extra"]["train_bf16"] == {"ran": "device_train_bench.py"}
+    assert last["extra"]["streaming"]["ran"] == "bench_streaming.py"
+    assert last["extra"]["train"]["ran"] == "device_train_bench.py"
+    assert last["extra"]["train_bf16"]["ran"] == "device_train_bench.py"
 
 
 def test_bench_serve_watchdog_emits_json_under_hard_budget(tmp_path):

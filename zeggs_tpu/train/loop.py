@@ -39,32 +39,44 @@ _POSE_KEYS = ("root_pos", "root_rot", "root_vel", "root_vrt", "lpos", "ltxy", "l
 
 
 def init_networks(key, opts: Options, dims, nlabels):
-    """Construct the three networks (train.py:107-139)."""
+    """Construct the three networks (train.py:107-139).
+
+    Initialization runs pinned to the HOST CPU backend and returns numpy
+    leaves: it is dozens of tiny independent programs (one per tensor),
+    and dispatching those through a remote-device tunnel costs a
+    multi-second compile round trip EACH (measured: 582 s for one full-v1
+    init through the axon tunnel vs ~2 s on host). The threefry PRNG is
+    backend-independent, so the values are bit-identical either way;
+    numpy leaves are uncommitted, so the first jit/pjit call uploads them
+    to the accelerator in one transfer."""
+    from ..utils import host_cpu
+
     net = opts.net
-    k1, k2, k3 = jax.random.split(key, 3)
-    style_size = (
-        nlabels
-        if opts.train.style_encoding_type == "label"
-        else net.style_encoder.style_encoding_size
-    )
-    params = {
-        "speech_encoder": speech_encoder.init(
-            k1, dims["num_audio_features"], net.speech_encoder.nhidden,
-            net.speech_encoder.speech_encoding_size,
-        ),
-        "decoder": decoder.init(
-            k2, dims["pose_input_size"], dims["pose_output_size"],
-            net.speech_encoder.speech_encoding_size, style_size,
-            net.decoder.nhidden, net.decoder.num_rnn_layers, net.decoder.rnn_cond,
-        ),
-    }
-    if opts.train.style_encoding_type == "example":
-        params["style_encoder"] = style_encoder.init(
-            k3, dims["pose_input_size"], net.style_encoder.nhidden,
-            net.style_encoder.style_encoding_size, net.style_encoder.type,
-            net.style_encoder.use_vae,
+    with host_cpu():
+        k1, k2, k3 = jax.random.split(key, 3)
+        style_size = (
+            nlabels
+            if opts.train.style_encoding_type == "label"
+            else net.style_encoder.style_encoding_size
         )
-    return params
+        params = {
+            "speech_encoder": speech_encoder.init(
+                k1, dims["num_audio_features"], net.speech_encoder.nhidden,
+                net.speech_encoder.speech_encoding_size,
+            ),
+            "decoder": decoder.init(
+                k2, dims["pose_input_size"], dims["pose_output_size"],
+                net.speech_encoder.speech_encoding_size, style_size,
+                net.decoder.nhidden, net.decoder.num_rnn_layers, net.decoder.rnn_cond,
+            ),
+        }
+        if opts.train.style_encoding_type == "example":
+            params["style_encoder"] = style_encoder.init(
+                k3, dims["pose_input_size"], net.style_encoder.nhidden,
+                net.style_encoder.style_encoding_size, net.style_encoder.type,
+                net.style_encoder.use_vae,
+            )
+    return jax.tree.map(np.asarray, params)
 
 
 def make_optimizer(opts: Options):
