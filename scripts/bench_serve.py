@@ -220,7 +220,7 @@ def main(argv=None, quiet=False):
     warm = warmup(
         pipe, lengths, bucket=256, max_batch=32,
         all_pow2=args.daemon or args.warm_only,
-        style_jobs=[(256, 8), (256, 16), (256, len(requests))],
+        style_jobs=[(256, len(requests))],
         deadline=deadline,
         log=lambda m: print(f"# {m}", file=sys.stderr),
     )

@@ -189,3 +189,34 @@ def test_generate_batch_f16_transfer(corpus, monkeypatch):
     assert np.abs(dr).max() < 3.0, np.abs(dr).max()
     assert np.median(np.abs(dr)) < 0.05
     np.testing.assert_allclose(a["positions"], b["positions"], atol=0.5)
+
+
+def test_generate_batch_full_pad_matches_pow2(corpus):
+    """The "full" batch-pad policy (TPU default: pad every chunk to
+    max_batch so one program serves a whole length bucket) must write
+    outputs identical to the "pow2" policy — padding rows are computed
+    and discarded, never blended into real rows."""
+    from zeggs_tpu.infer.batch import plan_programs
+
+    data_dir, net_dir, clips, opts = corpus
+    pipe = GesturePipeline(net_dir, data_dir, options=opts)
+    reqs = [
+        Request(audio=clips[i % 3][1], styles=[(clips[(i + 1) % 3][0], None)],
+                file_name=f"pp_{i}", temperature=0.0, seed=100 + i)
+        for i in range(3)
+    ]
+    out_a = data_dir.parent / "pad_pow2"
+    out_b = data_dir.parent / "pad_full"
+    generate_batch(pipe, reqs, out_a, bucket=64, max_batch=8, batch_pad="pow2")
+    generate_batch(pipe, reqs, out_b, bucket=64, max_batch=8, batch_pad="full")
+    for i in range(3):
+        a = bvh.load(out_a / f"pp_{i}.bvh")
+        b = bvh.load(out_b / f"pp_{i}.bvh")
+        np.testing.assert_allclose(a["rotations"], b["rotations"], atol=1e-4)
+        np.testing.assert_allclose(a["positions"], b["positions"], atol=1e-4)
+    # and the program plan collapses to ONE (T_pad, max_batch) per bucket
+    plan = plan_programs([150, 150, 150], bucket=64, max_batch=8,
+                         batch_pad="full")
+    assert plan == [(192, 8)]
+    assert plan_programs([10, 150], bucket=64, max_batch=8, batch_pad="full") \
+        == [(64, 8), (192, 8)]

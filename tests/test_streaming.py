@@ -221,3 +221,31 @@ def test_rollout_chunking_is_exact(pipe):
         np.testing.assert_allclose(
             np.asarray(full[i][:, 1:]), np.asarray(chunked), rtol=2e-5, atol=2e-6,
         )
+
+
+def test_batched_dispatch_mode_bounds_program_set(pipe, corpus, tmp_path):
+    """quantum >= 16 (the serving default) must run a whole session on a
+    BOUNDED device-program set — mel {32, 8(+128 for bulk)}, speech {16},
+    decoder {16} — with finish tails pad-and-sliced through the same
+    programs instead of compiling 4/2/1-row buckets (each extra program
+    costs minutes cold through a remote-compile tunnel)."""
+    audio = _read_audio(pipe, corpus)
+    styles = [(corpus / "original" / "001_Synth_1.bvh", (10, 80))]
+    pipe._stream_fn_cache = {}  # isolate from earlier sessions' programs
+    # 0.5 s pushes: small enough that some pushes emit NOTHING under the
+    # grain gating (regression: an empty speech emit must be None, not a
+    # zero-width array that poisons the session's speech-row buffer)
+    chunks = [8000] * (len(audio) // 8000) + ([len(audio) % 8000] or [])
+    chunks = [c for c in chunks if c]
+    got, sess = _stream(pipe, audio, styles, chunks, tmp_path, quantum=16)
+    assert np.isfinite(got["rotations"]).all()
+    mel_ns = {k[1] for k in pipe._stream_fn_cache if k[0] == "mel"}
+    sp_ns = {k[1] for k in pipe._stream_fn_cache if k[0] == "speech"}
+    dec_ns = {k[1] for k in pipe._stream_fn_cache if k[0] == "dec"}
+    assert mel_ns <= {512, 128, 32, 8}, mel_ns
+    assert min(mel_ns) >= 8, mel_ns
+    assert sp_ns <= {256, 64, 16} and min(sp_ns) >= 16, sp_ns
+    assert dec_ns <= {256, 64, 16} and min(dec_ns) >= 16, dec_ns
+    # ... and the padded tails still emit the exact offline frame count
+    n_frames = int(round(60.0 * len(audio) / pipe.mel_cfg.sampling_rate))
+    assert sess.frames_emitted == n_frames

@@ -46,12 +46,43 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
-def plan_programs(lengths, bucket=512, max_batch=64, n_dev=1):
+def resolve_batch_pad(batch_pad):
+    """Resolve the chunk batch-padding policy.
+
+    "pow2": pad each chunk's batch to the next power of two — partial tail
+    chunks reuse a small ladder of compiled programs. Right for backends
+    where compute scales with B (CPU).
+    "full": pad EVERY chunk to ``max_batch`` — ONE program per length
+    bucket. On TPU a B<=64 rollout is weight/latency-bound, not
+    compute-bound (the decoder weights VMEM-resident across the scan, the
+    per-step matmuls tiny), so padding to full batch costs ~nothing on
+    device while collapsing the compile/warmup set ~6x — each extra
+    serving program costs minutes cold and ~10 s warm through a
+    remote-compile tunnel.
+    "auto": "full" on TPU, "pow2" elsewhere.
+    """
+    if batch_pad == "auto":
+        return "full" if jax.default_backend() == "tpu" else "pow2"
+    assert batch_pad in ("pow2", "full"), batch_pad
+    return batch_pad
+
+
+def _chunk_b_pad(B, max_batch, n_dev, batch_pad):
+    """Padded batch size for a chunk of B requests under the policy."""
+    if batch_pad == "full":
+        return _round_up(max_batch, n_dev)
+    B_pad = max(n_dev, 1 << (B - 1).bit_length())
+    B_pad = _round_up(min(B_pad, max_batch), n_dev)
+    return max(B_pad, _round_up(B, n_dev))
+
+
+def plan_programs(lengths, bucket=512, max_batch=64, n_dev=1, batch_pad="auto"):
     """Predict the (T_pad, B_pad) rollout program shapes
     :func:`generate_batch` will execute for clips of these lengths (frames).
 
     Mirrors the bucketing/chunking below exactly; used by :func:`warmup`
     and by operators sizing a serving deployment's compile budget."""
+    batch_pad = resolve_batch_pad(batch_pad)
     buckets = {}
     for n in lengths:
         T_pad = max(bucket, _round_up(int(n), bucket))
@@ -60,15 +91,13 @@ def plan_programs(lengths, bucket=512, max_batch=64, n_dev=1):
     for T_pad, items in sorted(buckets.items()):
         for chunk_start in range(0, len(items), max_batch):
             B = len(items[chunk_start : chunk_start + max_batch])
-            B_pad = max(n_dev, 1 << (B - 1).bit_length())
-            B_pad = _round_up(min(B_pad, max_batch), n_dev)
-            B_pad = max(B_pad, _round_up(B, n_dev))
-            plan.append((T_pad, B_pad))
+            plan.append((T_pad, _chunk_b_pad(B, max_batch, n_dev, batch_pad)))
     return sorted(set(plan))
 
 
 def warmup(pipe, lengths, bucket=512, max_batch=64, mesh=None,
-           style_jobs=None, all_pow2=False, deadline=None, log=None):
+           style_jobs=None, all_pow2=False, deadline=None, log=None,
+           batch_pad="auto"):
     """Pre-compile the serving programs for clips of the given lengths.
 
     Runs each (speech-encode, rollout) program pair ONCE on zero inputs —
@@ -82,9 +111,13 @@ def warmup(pipe, lengths, bucket=512, max_batch=64, mesh=None,
 
     all_pow2: also warm every power-of-two batch size up to ``max_batch``
     per length bucket — the shapes a micro-batching daemon's partial drains
-    produce (serve/server.py), beyond the full-batch plan.
+    produce (serve/server.py) under the "pow2" policy, beyond the
+    full-batch plan. A no-op under the "full" policy, where every drain
+    pads to ONE program per length bucket.
     style_jobs: optional list of (example_len, count) to warm the batched
     style-encoder programs used by ``encode_styles_batch``.
+    batch_pad: chunk batch-padding policy (see :func:`resolve_batch_pad`);
+    must match what generate_batch / the daemon will run with.
 
     Returns {"compiled": [(T_pad, B_pad), ...], "skipped": [...],
     "seconds": total, "complete": bool} — ``skipped`` names the programs a
@@ -92,8 +125,10 @@ def warmup(pipe, lengths, bucket=512, max_batch=64, mesh=None,
     import time
 
     n_dev = mesh.devices.size if mesh is not None else 1
-    plan = plan_programs(lengths, bucket=bucket, max_batch=max_batch, n_dev=n_dev)
-    if all_pow2:
+    batch_pad = resolve_batch_pad(batch_pad)
+    plan = plan_programs(lengths, bucket=bucket, max_batch=max_batch,
+                         n_dev=n_dev, batch_pad=batch_pad)
+    if all_pow2 and batch_pad == "pow2":
         t_pads = {t for t, _ in plan}
         pow2s = []
         b = max(1, n_dev)
@@ -235,11 +270,14 @@ def generate_batch(
     max_batch=64,
     mesh=None,
     write_workers=4,
+    batch_pad="auto",
 ):
     """Run many requests as bucketed batched rollouts.
 
     pipe: GesturePipeline. Returns the list of written BVH paths.
+    batch_pad: chunk batch-padding policy (see :func:`resolve_batch_pad`).
     """
+    batch_pad = resolve_batch_pad(batch_pad)
     results_path = Path(results_path)
     results_path.mkdir(parents=True, exist_ok=True)
 
@@ -315,12 +353,10 @@ def generate_batch(
             for chunk_start in range(0, len(items), max_batch):
                 chunk = items[chunk_start : chunk_start + max_batch]
                 B = len(chunk)
-                # batch buckets: next power of two (respecting the mesh),
-                # so partial tail chunks reuse compiled programs instead of
-                # compiling one per distinct B (minutes each on TPU)
-                B_pad = max(n_dev, 1 << (B - 1).bit_length())
-                B_pad = _round_up(min(B_pad, max_batch), n_dev)
-                B_pad = max(B_pad, _round_up(B, n_dev))
+                # pad the chunk batch so partial tails reuse compiled
+                # programs instead of compiling one per distinct B
+                # (minutes each on TPU) — policy in resolve_batch_pad
+                B_pad = _chunk_b_pad(B, max_batch, n_dev, batch_pad)
 
                 def stack_state(j):
                     arrs = [c[4][j] for c in chunk]

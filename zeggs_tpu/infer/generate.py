@@ -330,26 +330,37 @@ class GesturePipeline:
         for i, (vec, _t, _k) in enumerate(jobs):
             Lb = max(64, _round_up(vec.shape[0], 64))
             buckets.setdefault(Lb, []).append(i)
+        from .batch import resolve_batch_pad
+
+        # batch-size policy mirrors the rollout chunks (batch.py): on TPU
+        # the encoder at N<=32 is latency-bound, so fixed 32-wide chunks
+        # give ONE program per length bucket (each extra program costs
+        # minutes cold / ~10 s warm through a remote-compile tunnel); on
+        # CPU pow2 keeps padded compute proportional to real work
+        full = resolve_batch_pad("auto") == "full"
         staged = []
         for Lb, idxs in sorted(buckets.items()):
-            N = len(idxs)
-            Np = max(8, 1 << (N - 1).bit_length())  # pow2: bounded jit cache
-            D = jobs[idxs[0]][0].shape[1]
-            padded = np.zeros((Np, Lb, D), np.float32)
-            lengths = np.ones((Np,), np.int32)
-            temps = np.zeros((Np,), np.float32)
-            keys = np.zeros((Np, 2), np.uint32)
-            for j, i in enumerate(idxs):
-                vec, t, k = jobs[i]
-                padded[j, : vec.shape[0]] = vec
-                lengths[j] = vec.shape[0]
-                temps[j] = t
-                keys[j] = k
-            emb = self._encode_styles_many(
-                jnp.asarray(padded), jnp.asarray(lengths),
-                jnp.asarray(temps), jnp.asarray(keys),
-            )
-            staged.append((idxs, emb))
+            chunks = ([idxs[s:s + 32] for s in range(0, len(idxs), 32)]
+                      if full else [idxs])
+            for cidxs in chunks:
+                N = len(cidxs)
+                Np = 32 if full else max(8, 1 << (N - 1).bit_length())
+                D = jobs[cidxs[0]][0].shape[1]
+                padded = np.zeros((Np, Lb, D), np.float32)
+                lengths = np.ones((Np,), np.int32)
+                temps = np.zeros((Np,), np.float32)
+                keys = np.zeros((Np, 2), np.uint32)
+                for j, i in enumerate(cidxs):
+                    vec, t, k = jobs[i]
+                    padded[j, : vec.shape[0]] = vec
+                    lengths[j] = vec.shape[0]
+                    temps[j] = t
+                    keys[j] = k
+                emb = self._encode_styles_many(
+                    jnp.asarray(padded), jnp.asarray(lengths),
+                    jnp.asarray(temps), jnp.asarray(keys),
+                )
+                staged.append((cidxs, emb))
         pulled = jax.device_get([e for _, e in staged])
         for (idxs, _), emb in zip(staged, pulled):
             for j, i in enumerate(idxs):

@@ -73,7 +73,7 @@ class _MelStream:
     (log_mel (n, n_mels), energy (n,)) rows as enough samples arrive.
     """
 
-    def __init__(self, cfg: mel.MelConfig, gain=1.0, fn_cache=None):
+    def __init__(self, cfg: mel.MelConfig, gain=1.0, fn_cache=None, grain=1):
         assert cfg.centered, "streaming mel requires the reference's centered STFT"
         # total_frames() reproduces the offline drop-a-frame condition
         # ((max(N, nfft) + nfft) % hop == 0) via max(N, nfft) % hop == 0 —
@@ -87,6 +87,14 @@ class _MelStream:
         self.gain = float(gain)
         self.nfft = cfg.filter_length
         self.hop = cfg.hop_length
+        # grain > 1 = batched-dispatch mode: mid-stream, only consume when a
+        # >= grain bucket is ready (remainder stays pending for the next
+        # push), and finish() pads the sub-grain tail through the
+        # grain-sized program instead of descending to the 2/1-row buckets.
+        # Halves per-push dispatches AND keeps the small-bucket programs
+        # from ever compiling (each program costs minutes cold / ~10 s warm
+        # through a remote-compile tunnel).
+        self.grain = int(grain)
         # jitted programs and DFT constants are shared ACROSS sessions via
         # the pipeline-owned cache: a fresh @jax.jit closure per session
         # would re-load every bucket executable through the device tunnel
@@ -163,14 +171,29 @@ class _MelStream:
             self._ext = np.concatenate([self._ext, emph])
 
     def _consume(self, cap=None):
-        """Emit frames from the ready window; cap bounds total frames."""
+        """Emit frames from the ready window; cap bounds total frames.
+        cap is only passed by finish() — it doubles as the flush flag."""
         outs = []
+        flush = cap is not None
         while self._ext is not None:
             avail = (len(self._ext) - self.nfft) // self.hop + 1 if len(self._ext) >= self.nfft else 0
             if cap is not None:
                 avail = min(avail, cap - self.done)
+            if flush and 0 < avail < self.grain:
+                # pad-and-slice the tail through the grain-sized program:
+                # each mel row is an independent window of samples, so the
+                # zero-padded samples only feed the discarded rows
+                w = (self.grain - 1) * self.hop + self.nfft
+                x = self._ext[:w]
+                if len(x) < w:
+                    x = np.concatenate([x, np.zeros(w - len(x), np.float32)])
+                log_mel, energy = self._row_fn(self.grain)(jnp.asarray(x))
+                outs.append((np.asarray(log_mel)[:avail], np.asarray(energy)[:avail]))
+                self._ext = self._ext[avail * self.hop:]
+                self.done += avail
+                continue
             nf = _largest_bucket(_MEL_BUCKETS, avail)
-            if nf == 0:
+            if nf == 0 or (not flush and nf < self.grain):
                 break
             w = (nf - 1) * self.hop + self.nfft
             log_mel, energy = self._row_fn(nf)(jnp.asarray(self._ext[:w]))
@@ -293,10 +316,13 @@ class _SpeechStream:
 
     LOOK = 15  # (31 - 1) / 2
 
-    def __init__(self, params, fn_cache=None):
+    def __init__(self, params, fn_cache=None, grain=1):
         self.params = params
         self.feats = None  # (n, F) normalized rows
         self.done = 0
+        # grain: see _MelStream — mid-stream consume threshold + finish
+        # pad-and-slice bucket (batched-dispatch mode)
+        self.grain = int(grain)
         self._fns = fn_cache if fn_cache is not None else {}
 
     def _fn(self, n):
@@ -315,15 +341,33 @@ class _SpeechStream:
             self._fns[("speech", n)] = fn
         return self._fns[("speech", n)]
 
-    def _emit(self, hi, end_idx):
+    def _emit(self, hi, end_idx, flush=False):
         outs = []
         while self.done < hi:
-            n = _largest_bucket(_SPEECH_BUCKETS, hi - self.done)
+            rem = hi - self.done
+            if flush and rem < self.grain:
+                # pad-and-slice the tail through the grain-sized program:
+                # the index clamp reproduces the offline replicate-conv end
+                # semantics exactly, and rows past `rem` are discarded
+                idx = np.clip(np.arange(self.done - self.LOOK,
+                                        self.done + self.grain + self.LOOK),
+                              0, end_idx)
+                out = np.asarray(self._fn(self.grain)(jnp.asarray(self.feats[idx])))
+                outs.append(out[:rem])
+                self.done += rem
+                break
+            n = _largest_bucket(_SPEECH_BUCKETS, rem)
+            if n == 0 or (not flush and n < self.grain):
+                break
             idx = np.clip(np.arange(self.done - self.LOOK, self.done + n + self.LOOK), 0, end_idx)
             outs.append(np.asarray(self._fn(n)(jnp.asarray(self.feats[idx]))))
             self.done += n
         if not outs:
-            return np.zeros((0, 0), np.float32)
+            # None, not a (0, 0) placeholder: the feature dim is unknown
+            # here, and a zero-width array would poison the session's
+            # speech-row concatenation (grain gating makes empty emits
+            # routine mid-stream)
+            return None
         return np.concatenate(outs)
 
     def push(self, rows):
@@ -339,7 +383,7 @@ class _SpeechStream:
         assert self.feats is not None and len(self.feats) == n_frames
         if self.done >= n_frames:
             return None
-        return self._emit(n_frames, n_frames - 1)
+        return self._emit(n_frames, n_frames - 1, flush=True)
 
 
 class StreamingSession:
@@ -372,6 +416,15 @@ class StreamingSession:
             raise NotImplementedError("streaming supports the 'normal' decoder cell")
         self.pipe = pipe
         self.quantum = int(quantum)
+        # batched-dispatch mode (quantum >= 16, the serving default): apply
+        # consume grains to the mel/speech stages too and pad-and-slice the
+        # finish tails, so a session runs on FOUR device programs total
+        # (mel 32 + 8, speech 16, decoder 16) at ~5 dispatches per 0.5 s
+        # push — instead of ~12 programs / ~10 dispatches when every
+        # sub-grain remainder descends the bucket ladder. quantum < 16
+        # keeps the fine-grained ladder for lowest mid-stream latency.
+        batched = self.quantum >= 16
+        self._grain_dec = 16 if batched else 1
         # pipeline-owned jit cache shared across sessions: a per-session
         # @jax.jit closure is a NEW program object, so every session would
         # re-load each bucket executable through the device tunnel
@@ -381,13 +434,15 @@ class StreamingSession:
             pipe._stream_fn_cache = {}
         self._dec_fns = pipe._stream_fn_cache
         self._mel = _MelStream(pipe.mel_cfg, gain=gain,
-                               fn_cache=pipe._stream_fn_cache)
+                               fn_cache=pipe._stream_fn_cache,
+                               grain=8 if batched else 1)
         self._resample = _Resampler(
             pipe.mel_cfg, 60, pipe.audio_feature_type,
             pipe.stats["audio_input_mean"], pipe.stats["audio_input_std"],
         )
         self._speech = _SpeechStream(pipe.networks["speech_encoder"],
-                                     fn_cache=pipe._stream_fn_cache)
+                                     fn_cache=pipe._stream_fn_cache,
+                                     grain=16 if batched else 1)
         self.finished = False
 
         style_enc, last_feats = self._resolve_styles(styles, blend_ratio, temperature, seed)
@@ -481,9 +536,26 @@ class StreamingSession:
         if self._speech_rows is None:
             return
         emitted = []
+        grain = self._grain_dec
         # scan step t consumes speech row 1 + steps_done + ...
         while True:
             avail = (len(self._speech_rows) - 1) - self._steps_done
+            if flush and 0 < avail < grain:
+                # pad-and-slice the tail through the grain-sized program:
+                # the scan computes the `avail` true steps first, so the
+                # zero-padded speech rows only pollute the discarded steps
+                # (and the carry, which is dead after finish)
+                lo = 1 + self._steps_done
+                sp = self._speech_rows[lo:]
+                sp = np.concatenate(
+                    [sp, np.zeros((grain - avail, sp.shape[-1]), sp.dtype)])
+                speech = jnp.asarray(sp)[None]
+                gaze = jnp.broadcast_to(self._gaze0[:, None], (1, grain, 3))
+                style = jnp.broadcast_to(self.style[:, None], (1, grain, self.style.shape[-1]))
+                self._carry, out = self._dec_fn(grain)(self._carry, gaze, speech, style)
+                emitted.append(tuple(o[:, :avail] for o in out[:4]))
+                self._steps_done += avail
+                break
             n = _largest_bucket(_DECODER_BUCKETS, avail)
             if n == 0 or (not flush and n < self.quantum):
                 break
