@@ -46,7 +46,7 @@ def write_bvh(
     """
     import jax
 
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         return _write_bvh_host(
             filename, root_pos, root_rot, lpos, lrot, parents, names, order,
             dt, start_position, start_rotation,
@@ -171,7 +171,13 @@ def host_cpu():
     ops; dispatching them to the accelerator costs a device round-trip per
     op (30 ms each through a remote tunnel). Wrap host math in this context
     so only the compiled compute path touches the TPU.
+
+    Uses the process-LOCAL cpu device: under a multi-process
+    ``jax.distributed`` cluster, ``jax.devices("cpu")[0]`` is the GLOBAL
+    device list's first entry — owned by rank 0 and non-addressable from
+    every other rank, where eager placement then raises and wedges the
+    cluster at the next collective (caught by tests/test_multihost.py).
     """
     import jax
 
-    return jax.default_device(jax.devices("cpu")[0])
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
