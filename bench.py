@@ -401,10 +401,14 @@ def main():
         # budget-aware end to end: a per-program warmup phase with deadline
         # checks, phase-level budget skips, and a hard watchdog that prints
         # the partial JSON and exits 0 at budget+5 s even mid-compile.
+        # estimate from the round-5 warm rehearsal: 148 s fixed (corpus +
+        # init + warmup + first-pass deserialize) + ~30 s warm passes +
+        # ~60 s daemon + ~40 s sequential; 360 also sets the grant floor so
+        # the daemon/sequential phases aren't starved by later-stage reserves
         stages.append(("serve",
                        [os.path.join(_REPO, "scripts", "bench_serve.py"),
                         "--requests", "20", "--daemon", "--budget-from-remaining"],
-                       300))
+                       360))
     if on_tpu and os.environ.get("ZEGGS_BENCH_STREAMING", "1") != "0":
         # live streaming session: time-to-first-frame, per-push latency,
         # realtime factor (VERDICT r3 item 6, r4 item 1) — same watchdog
@@ -416,12 +420,14 @@ def main():
     if on_tpu and os.environ.get("ZEGGS_BENCH_TRAIN", "1") != "0":
         # training throughput (device-resident corpus, full v1 dims, batch
         # 32 x 256 frames) — regresses the it/s headlines in DESIGN.md §3b.
+        # warm-rehearsal walls: 52 s fp32 / 95 s bf16 (AOT artifact skips
+        # tracing; persistent-cache hit); 170 leaves cold-AOT headroom
         stages.append(("train",
                        [os.path.join(_REPO, "scripts", "device_train_bench.py"),
-                        "--json"], 320))
+                        "--json"], 170))
         stages.append(("train_bf16",
                        [os.path.join(_REPO, "scripts", "device_train_bench.py"),
-                        "--json", "--bf16"], 320))
+                        "--json", "--bf16"], 170))
 
     for i, (key, argv, est) in enumerate(stages):
         if remaining() < est:

@@ -194,7 +194,11 @@ def main(argv=None):
     r.update(run_session(pipe, style, audio, push, args.quantum))
     r.update(seconds=args.seconds, push_ms=args.push_ms, quantum=args.quantum,
              cold_session_s=round(cold_s, 1))
-    if args.http and remaining() < 2.5 * max(cold_s, r["total_s"]) + 10:
+    # the HTTP session shares this process's pipeline and jit cache (the
+    # device-program set is session-independent), so after the in-process
+    # warm session it costs ~total_s + server overhead — the cold_s term
+    # would double-count the one-time compile/deserialize already paid
+    if args.http and remaining() < 1.5 * r["total_s"] + 15:
         print(f"# http phase skipped: {remaining():.0f}s left", file=sys.stderr)
         r["http_skipped_over_budget"] = True
         args.http = False
