@@ -88,12 +88,50 @@ def _motion(nframes, seed):
 
 
 def build_corpus(root: Path, n_requests=20, seed=0):
-    """Synthetic full-scale data dir + networks + request list."""
+    """Synthetic full-scale data dir + networks + request list.
+
+    Everything here is deterministic (fixed seeds), so a marker file lets
+    re-runs under the same root skip the expensive parts (host-side
+    init_networks of the full v1 dims + BVH/npz writes, ~60 s) — only the
+    request wavs (~1 s) are rewritten. The marker embeds the layout dims so
+    a dims change invalidates the cache.
+    """
     root = Path(root)
     data_dir, net_dir, clips_dir = root / "processed", root / "models", root / "clips"
     for d in (data_dir, net_dir, clips_dir):
         d.mkdir(parents=True, exist_ok=True)
     names, parents = _skeleton()
+
+    fingerprint = f"{NJOINTS}-{POSE_IN}-{POSE_OUT}-corpus-v1"
+    marker = root / "corpus_marker.txt"
+    style_paths = [clips_dir / f"style_{i}.bvh" for i in range(4)]
+    cached = (
+        marker.exists() and marker.read_text() == fingerprint
+        and all(p.exists() for p in style_paths)
+        and all((net_dir / f"{n}.npz").exists()
+                for n in ("speech_encoder", "decoder", "style_encoder"))
+    )
+    if cached:
+        opts = C.Options()
+        rng = np.random.default_rng(seed)
+        requests, total_frames, lengths = [], 0, []
+        for i in range(n_requests):
+            seconds = float(rng.uniform(4.0, 12.0))
+            n = int(seconds * 16000)
+            t = np.arange(n) / 16000
+            audio = (0.3 * np.sin(2 * np.pi * 220 * t)
+                     * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+                     + 0.05 * rng.normal(size=n)).astype(np.float32)
+            ap = clips_dir / f"req_{i}.wav"
+            wav.write_wavefile(ap, np.clip(audio, -0.99, 0.99), 16000)
+            n_frames = int(round(60.0 * seconds))
+            total_frames += n_frames
+            lengths.append(n_frames)
+            requests.append(Request(
+                audio=ap, styles=[(style_paths[i % 4], (8, 8 + 256))],
+                file_name=f"req_{i}", temperature=1.0, seed=1234 + i,
+            ))
+        return net_dir, data_dir, requests, total_frames, opts, lengths
 
     (data_dir / "data_definition.json").write_text(json.dumps({
         "dt": 1.0 / 60.0, "label_names": ["Neutral"], "parents": parents,
@@ -144,6 +182,7 @@ def build_corpus(root: Path, n_requests=20, seed=0):
             audio=ap, styles=[(style_paths[i % 4], (8, 8 + 256))],
             file_name=f"req_{i}", temperature=1.0, seed=1234 + i,
         ))
+    marker.write_text(fingerprint)
     return net_dir, data_dir, requests, total_frames, opts, lengths
 
 
